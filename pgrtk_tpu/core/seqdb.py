@@ -1,0 +1,165 @@
+"""Compact sequence database: SHIMMER-pair fragment index + fragment store.
+
+Re-implements the semantics of the reference CompactSeqDB
+(reference: pgr-db/src/seq_db.rs:94-786) with a host-side columnar design:
+
+  - sequences are sketched (natively or on-device) in batches
+  - consecutive SHIMMER pairs become canonical (hash0<=hash1, orientation)
+    keys (reference: seq_db.rs:233-246, 386-399)
+  - the index maps key -> list of (frg_id, seq_id, bgn, end, orientation)
+  - fragment ids are numbered per sequence: prefix, internals..., suffix
+    (reference: seq_db.rs:189-357) so .mdb output is signature-exact
+
+Fragment bases are stored uncompressed in memory here; the delta-compressed
+on-disk representation lives in frag_io.py.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from . import mdb
+from .fasta import read_fastx, reverse_complement
+from .spec import ShmmrSpec
+
+# fragment kinds
+PREFIX, INTERNAL, SUFFIX = 0, 1, 2
+
+
+@dataclass
+class CompactSeq:
+    source: Optional[str]
+    name: str
+    id: int
+    seq_frag_range: Tuple[int, int]  # (start, len)
+    len: int
+
+
+@dataclass
+class CompactSeqDB:
+    spec: ShmmrSpec
+    seqs: List[CompactSeq] = field(default_factory=list)
+    frag_map: Dict[Tuple[int, int], List[Tuple[int, int, int, int, int]]] = field(
+        default_factory=dict
+    )
+    # fragments as (kind, bytes); INTERNAL bases include the leading k overlap
+    frags: List[Tuple[int, bytes]] = field(default_factory=list)
+
+    def _sketcher(self):
+        from .sketch import sequence_to_shmmrs  # late import: backend dispatch
+
+        return sequence_to_shmmrs
+
+    def load_seqs(
+        self, records: Sequence[Tuple[Optional[str], str, bytes]], store_frags: bool = True
+    ) -> None:
+        """records: iterable of (source, name, seq)."""
+        sketch = self._sketcher()
+        base_sid = len(self.seqs)
+        seqs = [(base_sid + i, src, name, s) for i, (src, name, s) in enumerate(records)]
+        from .sketch import batch_sequence_to_shmmrs
+
+        all_shmmrs = batch_sequence_to_shmmrs(
+            [(sid, s) for sid, _, _, s in seqs], self.spec
+        )
+        for (sid, source, name, seq), shmmrs in zip(seqs, all_shmmrs):
+            self._add_seq(sid, source, name, seq, shmmrs, store_frags)
+
+    def _add_seq(self, sid, source, name, seq, shmmrs, store_frags):
+        k = self.spec.k
+        frg_id = len(self.frags)
+        first_frg = frg_id
+        n_frags = 0
+
+        if len(shmmrs) == 0:
+            # reference: seq_db.rs:207-224 (prefix=whole seq, empty suffix;
+            # both entries reuse the same id in the reference)
+            self.frags.append((PREFIX, bytes(seq) if store_frags else b""))
+            self.frags.append((SUFFIX, b""))
+            self.seqs.append(CompactSeq(source, name, sid, (first_frg, 2), len(seq)))
+            return
+
+        positions = [(m[1] & 0xFFFFFFFF) >> 1 for m in shmmrs]
+        hashes = [m[0] >> 8 for m in shmmrs]
+
+        # prefix fragment: seq[..pos0+1]
+        end0 = positions[0] + 1
+        self.frags.append((PREFIX, bytes(seq[:end0]) if store_frags else b""))
+        n_frags += 1
+        frg_id += 1
+
+        for i in range(len(shmmrs) - 1):
+            s0, s1 = hashes[i], hashes[i + 1]
+            if s0 <= s1:
+                key, orientation = (s0, s1), 0
+            else:
+                key, orientation = (s1, s0), 1
+            bgn = positions[i] + 1
+            end = positions[i + 1] + 1
+            self.frag_map.setdefault(key, []).append(
+                (frg_id, sid, bgn, end, orientation)
+            )
+            frag_bases = bytes(seq[bgn - k : end]) if store_frags else b""
+            self.frags.append((INTERNAL, frag_bases))
+            n_frags += 1
+            frg_id += 1
+
+        bgn_s = positions[-1] + 1
+        self.frags.append((SUFFIX, bytes(seq[bgn_s:]) if store_frags else b""))
+        n_frags += 1
+
+        self.seqs.append(CompactSeq(source, name, sid, (first_frg, n_frags), len(seq)))
+
+    def load_from_fastx(self, filepath: str, store_frags: bool = True) -> None:
+        records = [
+            (rec.source, rec.id.decode(), rec.seq) for rec in read_fastx(filepath)
+        ]
+        self.load_seqs(records, store_frags=store_frags)
+
+    # ------------------------------------------------------------------
+    # reconstruction (reference: seq_db.rs:685-786)
+    # ------------------------------------------------------------------
+    def get_seq_by_id(self, sid: int) -> bytes:
+        cs = self.seqs[sid]
+        start, n = cs.seq_frag_range
+        return self._reconstruct(range(start, start + n))
+
+    def _reconstruct(self, frag_ids) -> bytes:
+        k = self.spec.k
+        parts = []
+        for fid in frag_ids:
+            kind, b = self.frags[fid]
+            if kind == INTERNAL:
+                parts.append(b[k:])
+            else:
+                parts.append(b)
+        return b"".join(parts)
+
+    def get_sub_seq_by_id(self, sid: int, bgn: int, end: int) -> bytes:
+        cs = self.seqs[sid]
+        start, n = cs.seq_frag_range
+        k = self.spec.k
+        base_offset = 0
+        picked = []
+        for fid in range(start, start + n):
+            kind, b = self.frags[fid]
+            frag_len = len(b) - k if kind == INTERNAL else len(b)
+            if (
+                (base_offset <= bgn < base_offset + frag_len)
+                or (base_offset <= end < base_offset + frag_len)
+                or (bgn <= base_offset and base_offset + frag_len <= end)
+            ):
+                picked.append((fid, base_offset))
+            base_offset += frag_len
+        rec = self._reconstruct(fid for fid, _ in picked)
+        offset = bgn - picked[0][1]
+        return rec[offset : offset + (end - bgn)]
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def write_mdb_midx(self, prefix: str) -> None:
+        mdb.write_mdb(self.spec, self.frag_map, prefix + ".mdb")
+        mdb.write_midx(
+            ((s.id, s.len, s.name, s.source) for s in self.seqs), prefix + ".midx"
+        )

@@ -1,0 +1,26 @@
+"""Test configuration: force a virtual 8-device CPU mesh for JAX tests.
+
+Real-TPU benchmarking happens in bench.py, not here; tests must run
+anywhere, so we pin JAX to CPU with 8 virtual devices before any JAX
+import to exercise the multi-chip sharding paths.
+"""
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+TEST_DATA = "/root/reference/pgr-db/test/test_data"
+
+
+@pytest.fixture(scope="session")
+def test_data_dir():
+    return TEST_DATA
