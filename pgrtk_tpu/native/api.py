@@ -1,0 +1,332 @@
+"""ctypes bindings to the native runtime library (libpgrtk.so).
+
+The library is built lazily via make on first use.  pybind11 is not
+available in this environment, so the C ABI + ctypes is the binding layer.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libpgrtk.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+
+
+class _Spec(ctypes.Structure):
+    _fields_ = [
+        ("w", ctypes.c_uint32),
+        ("k", ctypes.c_uint32),
+        ("r", ctypes.c_uint32),
+        ("min_span", ctypes.c_uint32),
+        ("sketch", ctypes.c_int32),
+        ("padding", ctypes.c_int32),
+    ]
+
+
+class _MM128(ctypes.Structure):
+    _fields_ = [("x", ctypes.c_uint64), ("y", ctypes.c_uint64)]
+
+
+class _Delta(ctypes.Structure):
+    _fields_ = [
+        ("x", ctypes.c_uint32),
+        ("y", ctypes.c_uint32),
+        ("dk", ctypes.c_int32),
+    ]
+
+
+class _Ovlp(ctypes.Structure):
+    _fields_ = [
+        ("m_size", ctypes.c_uint32),
+        ("dist", ctypes.c_uint32),
+        ("bgn0", ctypes.c_uint32),
+        ("end0", ctypes.c_uint32),
+        ("bgn1", ctypes.c_uint32),
+        ("end1", ctypes.c_uint32),
+        ("m_end0", ctypes.c_uint32),
+        ("m_end1", ctypes.c_uint32),
+        ("deltas", ctypes.POINTER(_Delta)),
+        ("n_deltas", ctypes.c_int64),
+        ("matched", ctypes.c_int32),
+    ]
+
+
+def _build() -> bool:
+    srcs = [
+        os.path.join(_DIR, "src", f)
+        for f in os.listdir(os.path.join(_DIR, "src"))
+        if f.endswith((".cc", ".h"))
+    ]
+    if os.path.exists(_LIB_PATH):
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        if all(os.path.getmtime(s) <= lib_mtime for s in srcs):
+            return True
+    try:
+        subprocess.run(
+            ["make", "-j", str(os.cpu_count() or 4)],
+            cwd=_DIR,
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        out = getattr(e, "stderr", b"")
+        raise RuntimeError(
+            f"native build failed: {out.decode() if out else e}"
+        ) from e
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.pgr_sketch.restype = ctypes.c_int64
+        lib.pgr_sketch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_uint32,
+            ctypes.POINTER(_Spec),
+            ctypes.POINTER(ctypes.POINTER(_MM128)),
+        ]
+        lib.pgr_sketch_batch.restype = None
+        lib.pgr_sketch_batch.argtypes = [
+            ctypes.c_char_p,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.uint32),
+            ctypes.c_int64,
+            ctypes.POINTER(_Spec),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(_MM128)),
+            np.ctypeslib.ndpointer(np.int64),
+        ]
+        lib.pgr_free.restype = None
+        lib.pgr_free.argtypes = [ctypes.c_void_p]
+        lib.pgr_match_reads.restype = None
+        lib.pgr_match_reads.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.POINTER(_Ovlp),
+        ]
+        lib.pgr_sparse_aln.restype = ctypes.c_int64
+        lib.pgr_sparse_aln.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32),
+            ctypes.c_int64,
+            ctypes.c_uint32,
+            ctypes.c_float,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    try:
+        return _load() is not None
+    except RuntimeError:
+        return False
+
+
+def _to_spec(spec, padding: bool) -> _Spec:
+    return _Spec(
+        w=spec.w,
+        k=spec.k,
+        r=spec.r,
+        min_span=spec.min_span,
+        sketch=1 if spec.sketch else 0,
+        padding=1 if padding else 0,
+    )
+
+
+def _mm_to_list(ptr, n) -> List[Tuple[int, int]]:
+    if n == 0:
+        return []
+    arr = np.ctypeslib.as_array(ptr, shape=(n,))
+    out = [(int(a), int(b)) for a, b in zip(arr["x"], arr["y"])]
+    return out
+
+
+def sequence_to_shmmrs(rid: int, seq: bytes, spec, padding: bool = False):
+    lib = _load()
+    out = ctypes.POINTER(_MM128)()
+    cs = _to_spec(spec, padding)
+    n = lib.pgr_sketch(bytes(seq), len(seq), rid, ctypes.byref(cs), ctypes.byref(out))
+    res = _mm_to_list(out, n)
+    lib.pgr_free(out)
+    return res
+
+
+def sequence_to_shmmrs_arrays(rid: int, seq: bytes, spec, padding: bool = False):
+    """Like sequence_to_shmmrs but returns (x, y) uint64 numpy arrays."""
+    lib = _load()
+    out = ctypes.POINTER(_MM128)()
+    cs = _to_spec(spec, padding)
+    n = lib.pgr_sketch(bytes(seq), len(seq), rid, ctypes.byref(cs), ctypes.byref(out))
+    if n:
+        arr = np.ctypeslib.as_array(out, shape=(n,))
+        x = arr["x"].copy()
+        y = arr["y"].copy()
+    else:
+        x = np.empty(0, np.uint64)
+        y = np.empty(0, np.uint64)
+    lib.pgr_free(out)
+    return x, y
+
+
+def batch_sequence_to_shmmrs(
+    seqs: Sequence[Tuple[int, bytes]], spec, padding: bool = False, nthreads: int = 0
+):
+    lib = _load()
+    n = len(seqs)
+    if n == 0:
+        return []
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, (_, s) in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    buf = b"".join(bytes(s) for _, s in seqs)
+    rids = np.asarray([rid for rid, _ in seqs], dtype=np.uint32)
+    outs = (ctypes.POINTER(_MM128) * n)()
+    counts = np.zeros(n, dtype=np.int64)
+    cs = _to_spec(spec, padding)
+    lib.pgr_sketch_batch(
+        buf, offsets, rids, n, ctypes.byref(cs), nthreads, outs, counts
+    )
+    res = []
+    for i in range(n):
+        res.append(_mm_to_list(outs[i], int(counts[i])))
+        lib.pgr_free(outs[i])
+    return res
+
+
+def batch_sequence_to_shmmrs_arrays(
+    seqs: Sequence[Tuple[int, bytes]], spec, padding: bool = False, nthreads: int = 0
+):
+    """Batch sketch returning per-seq (x, y) uint64 numpy array pairs."""
+    lib = _load()
+    n = len(seqs)
+    if n == 0:
+        return []
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    for i, (_, s) in enumerate(seqs):
+        offsets[i + 1] = offsets[i] + len(s)
+    buf = b"".join(bytes(s) for _, s in seqs)
+    rids = np.asarray([rid for rid, _ in seqs], dtype=np.uint32)
+    outs = (ctypes.POINTER(_MM128) * n)()
+    counts = np.zeros(n, dtype=np.int64)
+    cs = _to_spec(spec, padding)
+    lib.pgr_sketch_batch(
+        buf, offsets, rids, n, ctypes.byref(cs), nthreads, outs, counts
+    )
+    res = []
+    for i in range(n):
+        c = int(counts[i])
+        if c:
+            arr = np.ctypeslib.as_array(outs[i], shape=(c,))
+            res.append((arr["x"].copy(), arr["y"].copy()))
+        else:
+            res.append((np.empty(0, np.uint64), np.empty(0, np.uint64)))
+        lib.pgr_free(outs[i])
+    return res
+
+
+def match_reads(
+    seq0: bytes,
+    seq1: bytes,
+    get_delta: bool = True,
+    tol: float = 0.1,
+    min_match_len: int = 0,
+    min_match_start: int = 0,
+    bandwidth: int = 32,
+):
+    """Returns None or dict mirroring the reference OvlpMatch."""
+    lib = _load()
+    ovlp = _Ovlp()
+    lib.pgr_match_reads(
+        bytes(seq0),
+        len(seq0),
+        bytes(seq1),
+        len(seq1),
+        1 if get_delta else 0,
+        tol,
+        min_match_len,
+        min_match_start,
+        bandwidth,
+        ctypes.byref(ovlp),
+    )
+    if not ovlp.matched:
+        return None
+    deltas = None
+    if get_delta:
+        nd = int(ovlp.n_deltas)
+        deltas = [
+            (ovlp.deltas[i].x, ovlp.deltas[i].y, ovlp.deltas[i].dk)
+            for i in range(nd)
+        ]
+        lib.pgr_free(ovlp.deltas)
+    return {
+        "m_size": ovlp.m_size,
+        "dist": ovlp.dist,
+        "bgn0": ovlp.bgn0,
+        "end0": ovlp.end0,
+        "bgn1": ovlp.bgn1,
+        "end1": ovlp.end1,
+        "m_end0": ovlp.m_end0,
+        "m_end1": ovlp.m_end1,
+        "deltas": deltas,
+    }
+
+
+def sparse_aln(
+    hits: np.ndarray,
+    max_span: int = 8,
+    penalty: float = 0.5,
+    max_gap: Optional[int] = None,
+    oriented: bool = False,
+):
+    """hits: (n, 6) uint32. Returns list of (score, (m, 6) uint32 array)."""
+    lib = _load()
+    hits = np.ascontiguousarray(hits, dtype=np.uint32)
+    n = hits.shape[0]
+    out = ctypes.POINTER(ctypes.c_uint32)()
+    out_len = ctypes.c_int64()
+    lib.pgr_sparse_aln(
+        hits.reshape(-1),
+        n,
+        max_span,
+        penalty,
+        -1 if max_gap is None else max_gap,
+        1 if oriented else 0,
+        ctypes.byref(out),
+        ctypes.byref(out_len),
+    )
+    blob = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    lib.pgr_free(out)
+    chains = []
+    p = 0
+    n_chains = int(blob[p]); p += 1
+    for _ in range(n_chains):
+        score = float(blob[p : p + 1].view(np.float32)[0]); p += 1
+        m = int(blob[p]); p += 1
+        track = blob[p : p + 6 * m].reshape(m, 6).copy(); p += 6 * m
+        chains.append((score, track))
+    return chains
