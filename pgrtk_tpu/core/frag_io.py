@@ -1,0 +1,227 @@
+"""FRG fragment-store backend: .frg / .sdx files (+ .mdb/.midx index).
+
+File layout (reference: pgr-db/src/seq_db.rs:814-874, frag_file_io.rs):
+  .frg — "FRG:0.5" + concatenated raw-deflate chunks, each a bincode
+         Vec<Fragment> of up to chunk_size (256) fragments
+  .sdx — "SDX:0.5" + bincode (chunk_size, Vec<(offset,size,frag_bases)>,
+         Vec<CompactSeq>)
+"""
+from __future__ import annotations
+
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+from . import bincodec, fragcomp, mdb
+from .fasta import reverse_complement
+from .spec import ShmmrSpec
+
+FRG_MAGIC = b"FRG:0.5"
+SDX_MAGIC = b"SDX:0.5"
+
+
+def _frag_base_len(frag, k: int) -> int:
+    kind = frag[0]
+    if kind == "A":
+        return frag[3] - k
+    if kind == "I":
+        return len(frag[1]) - k
+    return len(frag[1])  # P / S
+
+
+class FragFileStorage:
+    """Random-access reader over a .frg/.sdx/.mdb/.midx prefix
+    (reference: frag_file_io.rs:28-229)."""
+
+    def __init__(self, prefix: str):
+        self.prefix = prefix
+        with open(prefix + ".sdx", "rb") as f:
+            data = f.read()
+        assert data[:7] == SDX_MAGIC, "bad sdx magic"
+        self.chunk_size, self.frag_addr_offsets, self.seqs = (
+            bincodec.read_sdx_payload(data[7:])
+        )
+        with open(prefix + ".frg", "rb") as f:
+            self.frg_data = f.read()
+        assert self.frg_data[:7] == FRG_MAGIC, "bad frg magic"
+        (
+            self.spec,
+            self.index_keys,
+            self.index_starts,
+            self.index_counts,
+            self.index_sigs,
+        ) = mdb.read_mdb_columnar(prefix + ".mdb")
+        self.seq_index: Dict[Tuple[str, Optional[str]], Tuple[int, int]] = {}
+        self.seq_info: Dict[int, Tuple[str, Optional[str], int]] = {}
+        for sid, slen, name, source in mdb.read_midx(prefix + ".midx"):
+            self.seq_index[(name, source)] = (sid, slen)
+            self.seq_info[sid] = (name, source, slen)
+        self._group_cache: Dict[int, list] = {}
+
+    # ------------------------------------------------------------------
+    def _fetch_group(self, gid: int) -> list:
+        cached = self._group_cache.get(gid)
+        if cached is not None:
+            return cached
+        offset, size, _ = self.frag_addr_offsets[gid]
+        raw = self.frg_data[7 + offset : 7 + offset + size]
+        frags = bincodec.read_fragments(zlib.decompress(raw, -15))
+        if len(self._group_cache) > 64:
+            self._group_cache.clear()
+        self._group_cache[gid] = frags
+        return frags
+
+    def _get_frag(self, fid: int):
+        return self._fetch_group(fid // self.chunk_size)[fid % self.chunk_size]
+
+    def _materialize(self, frag) -> bytes:
+        """Fragment -> its stored bases (AlnSegments resolved, incl. overlap)."""
+        if frag[0] != "A":
+            return frag[1]
+        _, base_id, reversed_, length, segs = frag
+        base = self._get_frag(base_id)
+        assert base[0] == "I", "AlnSegments base must be Internal"
+        seq = fragcomp.reconstruct_seq_from_aln_segs(
+            base[1], [_conv_seg(s) for s in segs]
+        )
+        assert len(seq) == length
+        if reversed_:
+            seq = reverse_complement(seq)
+        return seq
+
+    def _frag_bases(self, frag) -> bytes:
+        """Bases contributed to the reconstructed sequence."""
+        k = self.spec.k
+        b = self._materialize(frag)
+        if frag[0] in ("A", "I"):
+            return b[k:]
+        return b
+
+    def get_seq_by_id(self, sid: int) -> bytes:
+        source, name, _id, (start, n), slen = self.seqs[sid]
+        out = b"".join(
+            self._frag_bases(self._get_frag(f)) for f in range(start, start + n)
+        )
+        assert len(out) == slen, (len(out), slen)
+        return out
+
+    def get_sub_seq_by_id(self, sid: int, bgn: int, end: int) -> bytes:
+        _src, _name, _id, (start, n), _slen = self.seqs[sid]
+        k = self.spec.k
+        base_offset = 0
+        parts = []
+        first_off = None
+        for fid in range(start, start + n):
+            frag = self._get_frag(fid)
+            flen = _frag_base_len(frag, k)
+            if (
+                (base_offset <= bgn < base_offset + flen)
+                or (base_offset <= end < base_offset + flen)
+                or (bgn <= base_offset and base_offset + flen <= end)
+            ):
+                if first_off is None:
+                    first_off = base_offset
+                parts.append(self._frag_bases(frag))
+            base_offset += flen
+        rec = b"".join(parts)
+        offset = bgn - (first_off or 0)
+        return rec[offset : offset + (end - bgn)]
+
+
+def _conv_seg(s):
+    if s[0] == "F":
+        return (fragcomp.FULL_MATCH,)
+    if s[0] == "M":
+        return (fragcomp.MATCH, s[1], s[2])
+    return (fragcomp.INSERTION, s[1])
+
+
+def _unconv_seg(s):
+    if s[0] == fragcomp.FULL_MATCH:
+        return ("F",)
+    if s[0] == fragcomp.MATCH:
+        return ("M", s[1], s[2])
+    return ("I", s[1])
+
+
+# ---------------------------------------------------------------------------
+# writer (reference: seq_db.rs:814-874)
+# ---------------------------------------------------------------------------
+def write_frag_files(db, prefix: str, chunk_size: int = 256) -> None:
+    """Write .frg/.sdx from a CompactSeqDB (pgrtk_tpu.core.seqdb), delta-
+    compressing repeat fragments against the first fragment with the same
+    shimmer-pair key via the native O(nD) aligner
+    (reference: seq_db.rs:249-315)."""
+    from ..native import api as native
+
+    k = db.spec.k
+    use_native = native.available()
+
+    # map frag_id -> (key, orientation) for internal frags
+    frag_key: Dict[int, Tuple[Tuple[int, int], int]] = {}
+    first_frag_of_key: Dict[Tuple[int, int], Tuple[int, int]] = {}
+    for key, sigs in db.frag_map.items():
+        for fid, _sid, _b, _e, ori in sigs:
+            frag_key[fid] = (key, ori)
+        if sigs:
+            first_frag_of_key[key] = (sigs[0][0], sigs[0][4])
+
+    out_frags: List[tuple] = []
+    for fid, (kind, bases) in enumerate(db.frags):
+        from .seqdb import INTERNAL, PREFIX
+
+        if kind == PREFIX:
+            out_frags.append(("P", bases))
+        elif kind == INTERNAL:
+            entry = frag_key.get(fid)
+            compressed = None
+            if use_native and entry is not None:
+                key, ori = entry
+                base_fid, base_ori = first_frag_of_key.get(key, (fid, ori))
+                if base_fid != fid and len(bases) > 128 + k:
+                    base_kind, base_bases = db.frags[base_fid]
+                    if base_kind == INTERNAL and len(base_bases) > 0:
+                        if ori != base_ori:
+                            frg = reverse_complement(bases)
+                            rc = True
+                        else:
+                            frg = bases
+                            rc = False
+                        m = native.match_reads(
+                            base_bases, frg, get_delta=True, tol=0.1, bandwidth=32
+                        )
+                        if m is not None:
+                            segs = fragcomp.deltas_to_aln_segs(
+                                m["deltas"], m["end0"], m["end1"], base_bases, frg
+                            )
+                            compressed = (
+                                "A",
+                                base_fid,
+                                rc,
+                                len(frg),
+                                [_unconv_seg(s) for s in segs],
+                            )
+            out_frags.append(compressed if compressed else ("I", bases))
+        else:
+            out_frags.append(("S", bases))
+
+    chunks = [
+        out_frags[i : i + chunk_size] for i in range(0, len(out_frags), chunk_size)
+    ]
+    addrs = []
+    offset = 0
+    with open(prefix + ".frg", "wb") as f:
+        f.write(FRG_MAGIC)
+        for chunk in chunks:
+            total_bases = sum(_frag_base_len(fr, k) for fr in chunk)
+            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = comp.compress(bincodec.write_fragments(chunk)) + comp.flush()
+            addrs.append((offset, len(blob), total_bases))
+            offset += len(blob)
+            f.write(blob)
+
+    with open(prefix + ".sdx", "wb") as f:
+        f.write(SDX_MAGIC)
+        seqs = [
+            (s.source, s.name, s.id, s.seq_frag_range, s.len) for s in db.seqs
+        ]
+        f.write(bincodec.write_sdx_payload(chunk_size, addrs, seqs))

@@ -1,0 +1,114 @@
+"""End-to-end query pipeline tests: backend consistency, frg round-trip,
+pgr-query CLI outputs."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+import pgrtk_tpu
+from pgrtk_tpu.core.fasta import read_fastx_all, reverse_complement
+
+
+@pytest.fixture(scope="module")
+def dbs(test_data_dir, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("dbs")
+    frg = pgrtk_tpu.SeqIndexDB()
+    frg.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    fx = pgrtk_tpu.SeqIndexDB()
+    fx.load_from_fastx(os.path.join(test_data_dir, "test_seqs.fa"))
+    fx.write_frag_and_index_files(str(tmp / "ours"))
+    ours = pgrtk_tpu.SeqIndexDB()
+    ours.load_from_frg_index(str(tmp / "ours"))
+    return frg, fx, ours
+
+
+def test_backend_query_consistency(dbs, test_data_dir):
+    frg, fx, ours = dbs
+    queries = read_fastx_all(os.path.join(test_data_dir, "test_seqs2.fa.gz"))
+    for rec in queries[:6]:
+        r_frg = frg.query_fragment_to_hps(rec.seq, 0.025, 128, 128, 128, 8)
+        r_fx = fx.query_fragment_to_hps(rec.seq, 0.025, 128, 128, 128, 8)
+        r_ours = ours.query_fragment_to_hps(rec.seq, 0.025, 128, 128, 128, 8)
+        assert r_frg == r_fx == r_ours
+        assert r_frg, "query should hit"
+
+
+def test_frg_roundtrip_reconstruction(dbs, test_data_dir):
+    _, _, ours = dbs
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs.fa"))
+    for sid in (0, 5, 33, len(recs) - 1):
+        assert ours.get_seq_by_id(sid) == recs[sid].seq
+
+
+def test_match_positions(dbs, test_data_dir):
+    frg, fx, _ = dbs
+    queries = read_fastx_all(os.path.join(test_data_dir, "test_seqs2.fa.gz"))
+    a = frg.get_match_positions_with_fragment(queries[0].seq)
+    b = fx.get_match_positions_with_fragment(queries[0].seq)
+    assert a == b and len(a) > 0
+
+
+def test_pgr_query_cli(test_data_dir, tmp_path):
+    out_prefix = str(tmp_path / "q")
+    cmd = [
+        sys.executable,
+        "-m",
+        "pgrtk_tpu.cli.pgr_query",
+        os.path.join(test_data_dir, "test_seqs_frag"),
+        os.path.join(test_data_dir, "test_seqs2.fa.gz"),
+        out_prefix,
+        "--frg-file",
+    ]
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    res = subprocess.run(cmd, capture_output=True, env=env)
+    assert res.returncode == 0, res.stderr.decode()
+    hit0 = out_prefix + ".000.hit"
+    assert os.path.exists(hit0)
+    lines = open(hit0).read().splitlines()
+    assert lines[0].startswith("#idx")
+    assert len(lines) > 1
+    row = lines[1].split("\t")
+    assert len(row) == 12
+    # fasta exists and hit regions match the db subsequence
+    fa0 = out_prefix + ".000.fa"
+    fa = read_fastx_all(fa0)
+    assert fa
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    name_to_info = {}
+    for line in lines[1:]:
+        f = line.split("\t")
+        name_to_info[f[11]] = (f[7], int(f[8]), int(f[9]), int(f[10]), f[6])
+    rec0 = fa[0]
+    ctg, b, e, ori, src = name_to_info[rec0.id.decode()]
+    expect = db.get_sub_seq(src, ctg, b, e)
+    if ori == 1:
+        expect = reverse_complement(expect)
+    assert rec0.seq == expect
+
+
+def test_pgr_make_frgdb_cli(test_data_dir, tmp_path):
+    lst = tmp_path / "files.txt"
+    lst.write_text(os.path.join(test_data_dir, "test_seqs.fa") + "\n")
+    out_prefix = str(tmp_path / "mk")
+    env = dict(os.environ, PYTHONPATH=os.path.dirname(os.path.dirname(__file__)))
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "pgrtk_tpu.cli.pgr_make_frgdb",
+            str(lst),
+            out_prefix,
+        ],
+        capture_output=True,
+        env=env,
+    )
+    assert res.returncode == 0, res.stderr.decode()
+    from pgrtk_tpu.core import mdb
+
+    _, golden = mdb.read_mdb(
+        os.path.join(test_data_dir, "test_seqs_frag.mdb")
+    )
+    _, built = mdb.read_mdb(out_prefix + ".mdb")
+    assert golden == built
