@@ -55,9 +55,11 @@ def _hash_mer(f0: int, f1: int, r0: int, r1: int) -> Tuple[int, int]:
 
 
 def _mer_stream(rid: int, seq: bytes, k: int):
-    """Yield (pos, x, y) for every non-palindromic k-mer position >= k.
+    """Yield (pos, x, y, h) for every non-palindromic k-mer position >= k.
 
-    Implements the rolling forward/reverse-complement registers
+    h is the full 64-bit strand-canonical hash (mode 2 thresholds on it,
+    before the top 8 bits are lost in the x packing).  Implements the
+    rolling forward/reverse-complement registers
     (reference: shmmrutils.rs:446-499).  Positions with non-ACGT bases do
     not advance the registers but still emit (stale register semantics).
     """
@@ -79,7 +81,7 @@ def _mer_stream(rid: int, seq: bytes, k: int):
         h, strand = _hash_mer(f0, f1, r0, r1)
         x = ((h << 8) & M64) | k
         y = (rid << 32) | (pos << 1) | strand
-        yield pos, x, y
+        yield pos, x, y, h
 
 
 class _Ring:
@@ -172,7 +174,7 @@ def sequence_to_shmmrs1(
     min_mer = (M64, M64)
     mdist = 0
     seqlen = len(seq)
-    for pos, x, y in _mer_stream(rid, seq, k):
+    for pos, x, y, _h in _mer_stream(rid, seq, k):
         m = (x, y)
         rbuf.push(m)
         if mdist == w - 1:
@@ -200,7 +202,9 @@ def sequence_to_shmmrs2(rid: int, seq: bytes, k: int, r: int, min_span: int):
     assert k <= 56 and 0 < r < 13
     threshold = (M64 >> 4) >> r
     shmmrs = [
-        (x, y) for _pos, x, y in _mer_stream(rid, seq, k) if (x >> 8) < threshold
+        (x, y)
+        for _pos, x, y, h in _mer_stream(rid, seq, k)
+        if h < threshold  # full 64-bit hash (reference: shmmrutils.rs:621)
     ]
     return _min_span_filter(shmmrs, min_span)
 

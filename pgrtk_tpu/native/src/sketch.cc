@@ -131,6 +131,8 @@ std::vector<MM128> min_span_filter(const std::vector<MM128> &in,
 
 // Shared k-mer register walk driving both modes. Emit is called with each
 // non-palindromic mer at pos >= k (stale registers on non-ACGT bases).
+// emit(pos, mer, full_hash): mode 2 thresholds on the full 64-bit hash,
+// before the top 8 bits are dropped by the x packing.
 template <typename F>
 inline void mer_walk(uint32_t rid, const uint8_t *seq, int64_t len, uint32_t k,
                      F &&emit) {
@@ -159,7 +161,7 @@ inline void mer_walk(uint32_t rid, const uint8_t *seq, int64_t len, uint32_t k,
     }
     MM128 m{(h << 8) | (uint64_t)k,
             ((uint64_t)rid << 32) | ((uint64_t)pos << 1) | strand};
-    emit(pos, m);
+    emit(pos, m, h);
   }
 }
 
@@ -172,7 +174,7 @@ std::vector<MM128> shmmrs_mode1(uint32_t rid, const uint8_t *seq, int64_t len,
   uint64_t min_x = U64MAX;
   uint32_t min_pos = 0;
   int64_t mdist = 0;
-  mer_walk(rid, seq, len, k, [&](int64_t pos, const MM128 &m) {
+  mer_walk(rid, seq, len, k, [&](int64_t pos, const MM128 &m, uint64_t) {
     rbuf.push(m);
     if (mdist == (int64_t)(w - 1)) {
       uint64_t mn = rbuf.min_x();
@@ -204,8 +206,8 @@ std::vector<MM128> shmmrs_mode2(uint32_t rid, const uint8_t *seq, int64_t len,
                                 uint32_t k, uint32_t r, uint32_t min_span) {
   std::vector<MM128> shmmrs;
   const uint64_t threshold = (U64MAX >> 4) >> r;
-  mer_walk(rid, seq, len, k, [&](int64_t, const MM128 &m) {
-    if ((m.x >> 8) < threshold) shmmrs.push_back(m);
+  mer_walk(rid, seq, len, k, [&](int64_t, const MM128 &m, uint64_t h) {
+    if (h < threshold) shmmrs.push_back(m);
   });
   return min_span_filter(shmmrs, min_span);
 }
