@@ -1,0 +1,315 @@
+"""MAP-graph construction and principal-bundle decomposition.
+
+Host-side graph algorithms re-deriving the reference semantics:
+  - frag_map -> adjacency list (reference: pgr-db/src/seq_db.rs:876-944)
+  - per-sequence adjacency list (seq_db.rs:946-1000)
+  - weighted bidirected DFS (graph_utils.rs:63-290)
+  - principal bundle peeling (seq_db.rs:1063-1186)
+
+Graph traversal is pointer-chasing with a priority queue — the wrong shape
+for the TPU; like the reference (which runs it on one CPU thread) we keep
+it on host.  Nodes are (hash0, hash1, orientation) tuples; the reverse of
+(h0, h1, o) is (h0, h1, 1-o) (skew symmetry).
+"""
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+Node = Tuple[int, int, int]  # (hash0, hash1, orientation)
+AdjPair = Tuple[int, Node, Node]  # (sid, v, w)
+
+
+def _rev(v: Node) -> Node:
+    return (v[0], v[1], 1 - v[2])
+
+
+def frag_map_to_adj_list(
+    frag_map, min_count: int, keeps: Optional[Sequence[int]] = None
+) -> List[AdjPair]:
+    """Flatten the index to (sid, bgn, end, node) rows, sort, and link
+    consecutive fragments of the same sequence (emitting both the forward
+    and the reverse-complement edge).  (reference: seq_db.rs:876-944)"""
+    rows = []
+    for (h0, h1), sigs in frag_map.items():
+        for _fid, sid, bgn, end, ori in sigs:
+            rows.append((sid, bgn, end, (h0, h1, ori)))
+    if len(rows) < 2:
+        return []
+    rows.sort()
+
+    keep_set = set(keeps) if keeps is not None else None
+
+    def passes(row):
+        if len(frag_map[(row[3][0], row[3][1])]) >= min_count:
+            return True
+        return keep_set is not None and row[0] in keep_set
+
+    mask = [passes(r) for r in rows]
+    out: List[AdjPair] = []
+    for i in range(len(rows) - 1):
+        if not (mask[i] and mask[i + 1]):
+            continue
+        v, w = rows[i], rows[i + 1]
+        if v[0] != w[0] or v[2] != w[1]:
+            continue  # different sequence or non-adjacent fragments
+        out.append((v[0], v[3], w[3]))
+        out.append((v[0], _rev(w[3]), _rev(v[3])))
+    return out
+
+
+def generate_smp_adj_list_for_seq(
+    seq: bytes, sid: int, frag_map, spec, min_count: int
+) -> List[AdjPair]:
+    """(reference: seq_db.rs:946-1000)"""
+    from ..core import sketch as sketch_mod
+
+    mers = sketch_mod.sequence_to_shmmrs(0, seq, spec, False)
+    res = []
+    for i in range(len(mers) - 1):
+        x0, y0 = mers[i]
+        x1, y1 = mers[i + 1]
+        s0, s1 = x0 >> 8, x1 >> 8
+        p0 = ((y0 & 0xFFFFFFFF) >> 1) + 1
+        p1 = ((y1 & 0xFFFFFFFF) >> 1) + 1
+        if s0 < s1:
+            res.append((s0, s1, p0, p1, 0))
+        else:
+            res.append((s1, s0, p0, p1, 1))
+    out: List[AdjPair] = []
+    for i in range(len(res) - 1):
+        v = res[i]
+        w = res[i + 1]
+        cv = frag_map.get((v[0], v[1]))
+        cw = frag_map.get((w[0], w[1]))
+        if (
+            cv is None
+            or cw is None
+            or len(cv) < min_count
+            or len(cw) < min_count
+            or v[3] != w[2]
+        ):
+            continue
+        out.append((sid, (v[0], v[1], v[4]), (w[0], w[1], w[4])))
+        out.append((sid, (w[0], w[1], 1 - w[4]), (v[0], v[1], 1 - v[4])))
+    return out
+
+
+class _Digraph:
+    """Tiny adjacency-map digraph preserving insertion order of neighbors
+    (petgraph's DiGraphMap iterates neighbors in insertion order)."""
+
+    __slots__ = ("succ", "pred")
+
+    def __init__(self):
+        self.succ: Dict[Node, dict] = {}
+        self.pred: Dict[Node, dict] = {}
+
+    def add_edge(self, v: Node, w: Node):
+        self.succ.setdefault(v, {})[w] = None
+        self.succ.setdefault(w, {})
+        self.pred.setdefault(w, {})[v] = None
+        self.pred.setdefault(v, {})
+
+    def nodes(self):
+        return self.succ.keys()
+
+    def out_neighbors(self, v: Node):
+        return self.succ.get(v, {}).keys()
+
+    def in_neighbors(self, v: Node):
+        return self.pred.get(v, {}).keys()
+
+    def remove_node(self, v: Node):
+        for w in self.succ.pop(v, {}):
+            self.pred.get(w, {}).pop(v, None)
+        for u in self.pred.pop(v, {}):
+            self.succ.get(u, {}).pop(v, None)
+
+
+def sort_adj_list_by_weighted_dfs(
+    frag_map, adj_list: Sequence[AdjPair], start: Node
+) -> List[Tuple[Node, Optional[Node], int, bool, int, int, int]]:
+    """Weighted bidirected DFS (reference: seq_db.rs:1013-1061 +
+    graph_utils.rs:63-290).
+
+    Returns [(node, parent, coverage, is_leaf, rank, branch_id,
+    branch_rank)].
+    """
+    g = _Digraph()
+    score: Dict[Node, int] = {}
+    for _sid, v, w in adj_list:
+        g.add_edge(v, w)
+        if v not in score:
+            score[v] = len(frag_map[(v[0], v[1])])
+        if w not in score:
+            score[w] = len(frag_map[(w[0], w[1])])
+
+    out = []
+    discovered: Set[Node] = set()
+    # max-heap keyed on (score, node) — Rust BinaryHeap pops the largest
+    # WeightedNode, whose Ord is on score only; ties pop in heap order.
+    # We key on (score, node) for determinism.
+    pq: List[Tuple[int, Node]] = []
+    next_node: Optional[Tuple[int, Node]] = None
+    global_rank: Dict[Node, int] = {start: 0}
+    current_branch = 0
+    branch_rank_state = 0
+
+    next_node = (score[start], start)
+
+    while True:
+        if next_node is not None:
+            node = next_node
+            branch_rank = branch_rank_state
+        else:
+            if not pq:
+                return out
+            neg = heapq.heappop(pq)
+            node = (-neg[0], neg[1])
+            branch_rank_state = 0
+            branch_rank = 0
+            current_branch += 1
+        branch = current_branch
+
+        if node[1] in discovered:
+            next_node = None
+            continue
+        discovered.add(node[1])
+        rnode = _rev(node[1])
+        discovered.add(rnode)
+
+        succ_f = []
+        for succ in g.out_neighbors(node[1]):
+            if node[1] == succ or node[1] == _rev(succ):
+                continue
+            if succ not in discovered:
+                succ_f.append((score[succ], succ))
+        succ_r = []
+        for succ in g.out_neighbors(rnode):
+            if node[1] == succ or node[1] == _rev(succ):
+                continue
+            if succ not in discovered:
+                succ_r.append((score[succ], succ))
+
+        is_leaf = len(succ_f) == 0
+        if is_leaf:
+            next_node = None
+        if succ_f:
+            succ_f.sort(key=lambda t: t[0])  # score only (Rust Ord)
+            next_node = succ_f.pop()
+            for s in succ_f:
+                heapq.heappush(pq, (-s[0], s[1]))
+        if succ_r:
+            for s in succ_r:
+                heapq.heappush(pq, (-s[0], s[1]))
+
+        node_rank = None
+        p_node = None
+        for n in g.in_neighbors(node[1]):
+            r = global_rank.get(n)
+            if r is not None and (node_rank is None or r < node_rank):
+                node_rank = r
+                p_node = n
+        for n in g.in_neighbors(rnode):
+            r = global_rank.get(n)
+            if r is not None and (node_rank is None or r < node_rank):
+                node_rank = r
+                p_node = n
+        node_rank = 0 if node_rank is None else node_rank
+        node_rank += 1
+        global_rank[node[1]] = node_rank
+        global_rank[rnode] = node_rank
+
+        branch_rank_state += 1
+        out.append(
+            (node[1], p_node, score[node[1]], is_leaf, node_rank, branch,
+             branch_rank)
+        )
+
+
+def get_principal_bundles_from_adj_list(
+    frag_map, adj_list: Sequence[AdjPair], path_len_cutoff: int
+) -> Tuple[List[List[Node]], List[AdjPair]]:
+    """(reference: seq_db.rs:1063-1186)"""
+    assert adj_list
+    start = adj_list[0][1]
+    sorted_nodes = sort_adj_list_by_weighted_dfs(frag_map, adj_list, start)
+
+    paths: List[List[Node]] = []
+    path: List[Node] = []
+    for v in sorted_nodes:
+        path.append(v[0])
+        if v[3]:  # leaf
+            paths.append(path)
+            path = []
+
+    main_vertices: Set[Tuple[int, int]] = set()
+    for p in paths:
+        if len(p) > path_len_cutoff:
+            for v in p:
+                main_vertices.add((v[0], v[1]))
+
+    g0 = _Digraph()
+    filtered: List[AdjPair] = []
+    for sid, v, w in adj_list:
+        if (v[0], v[1]) in main_vertices and (w[0], w[1]) in main_vertices:
+            g0.add_edge(v, w)
+            filtered.append((sid, v, w))
+
+    terminal: Set[Node] = set()
+    for v in list(g0.nodes()):
+        # reference marks v as terminal both when v branches out and when
+        # some w (a successor) has in-degree > 1 (seq_db.rs:1116-1123 —
+        # note it inserts *v* in both cases)
+        if len(g0.succ.get(v, {})) > 1:
+            terminal.add(v)
+        for w in g0.out_neighbors(v):
+            if len(g0.pred.get(w, {})) > 1:
+                terminal.add(v)
+
+    g1_succ = {v: dict(d) for v, d in g0.succ.items()}
+    g1_pred = {v: dict(d) for v, d in g0.pred.items()}
+
+    def g1_remove(v: Node):
+        for w in g1_succ.pop(v, {}):
+            g1_pred.get(w, {}).pop(v, None)
+        for u in g1_pred.pop(v, {}):
+            g1_succ.get(u, {}).pop(v, None)
+
+    def find_starts() -> List[Node]:
+        return [v for v in g1_succ if not g1_pred.get(v)]
+
+    starts = find_starts()
+    if not starts and g1_succ:
+        starts = [next(iter(g1_succ))]
+
+    principal: List[List[Node]] = []
+    while starts:
+        s = starts.pop()
+        # plain DFS from s until a terminal vertex is hit
+        path = []
+        stack = [s]
+        seen: Set[Node] = set()
+        while stack:
+            v = stack.pop()
+            if v in seen or v not in g1_succ:
+                continue
+            seen.add(v)
+            path.append(v)
+            if v in terminal:
+                break
+            for w in reversed(list(g1_succ.get(v, {}))):
+                if w not in seen:
+                    stack.append(w)
+        if path:
+            for v in path:
+                g1_remove(v)
+                g1_remove(_rev(v))
+            starts = find_starts()
+            principal.append(path)
+        if not starts and g1_succ:
+            starts = [next(iter(g1_succ))]
+
+    principal.sort(key=len, reverse=True)
+    return principal, filtered

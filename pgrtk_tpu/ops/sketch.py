@@ -1,26 +1,31 @@
 """Batched SHIMMER sketching on device (JAX/XLA, TPU-first).
 
-Design notes (vs the reference's sequential scalar walk,
+Design (vs the reference's sequential scalar walk,
 pgr-db/src/shmmrutils.rs:417-669):
 
-  * Sequences are presented as a padded (B, L) uint8 batch.  All per-base
-    state (the rolling forward / reverse-complement k-mer registers) is
-    computed with one `jax.lax.associative_scan` over the length axis — the
-    register update "shift-in one 2-bit base unless the base is ambiguous"
-    composes associatively as (shift_count, packed_bits) pairs, so XLA
-    parallelizes the scan in O(log L) depth instead of O(L).
-  * All u64 quantities live as (hi, lo) uint32 planes (ops.u64) — TPU has
-    no useful 64-bit integer path.
-  * Mode-2 ("sketch") emission — hash under threshold — is a pure
-    elementwise filter and runs entirely on device, including the
-    min_span/distinctness filter, which needs the previous/next *kept*
-    neighbor of every kept mer: two more last-valid associative scans.
-  * The output is fixed-shape: per-position (x_hi, x_lo, pos, strand,
-    keep) planes.  Compaction happens in the consumer (sort/segment ops on
-    device, or np.flatnonzero on host).
+  * Sequences arrive as a padded (B, L) uint8 batch and are cut into
+    fixed-size chunks.  The rolling k-mer register recurrence
+    ("shift in one 2-bit base unless ambiguous") is evaluated with a
+    **two-level Blelloch-style scan**:
+      1. a `lax.scan` marches down the chunk axis with every chunk in a
+         separate VPU lane (the "transpose for throughput" layout), giving
+         each chunk's register transform from a zero initial state;
+      2. chunk transforms — which compose associatively as
+         (shift_count, packed_bits) pairs — are combined across chunks
+         with a tiny `associative_scan`, yielding each chunk's exact
+         initial registers;
+      3. a second `lax.scan` replays the chunks from their exact initial
+         state, emitting strand-canonical Wang hashes per position.
+    Work is O(L), the compiled program is small (one scan body), and the
+    result is bit-exact for any input, including non-ACGT runs of any
+    length (no overlap/warm-up approximation).
+  * All u64 quantities are (hi, lo) uint32 planes (ops.u64): TPU has no
+    useful 64-bit integer path.
+  * Mode-2 emission (hash < threshold) plus the min_span/distinctness
+    filter (needs the previous/next *kept* mer) run as elementwise ops +
+    two last-valid associative scans, entirely on device.
 
-Exactness: bit-identical to the scalar reference for mode 2 on any input
-(including non-ACGT bases and padding); enforced by tests/test_ops_sketch.py.
+Exactness vs the scalar reference is enforced by tests/test_ops_device.py.
 """
 from __future__ import annotations
 
@@ -55,63 +60,125 @@ def encode_bases(seqs_u8: jnp.ndarray) -> jnp.ndarray:
     return table[seqs_u8.astype(jnp.int32)]
 
 
-def _register_scan(code: jnp.ndarray, k: int):
-    """Rolling k-mer registers for every position via associative scan.
+def _mask_pair(v, k: int):
+    """Mask a (hi, lo) register pair to k bits."""
+    if k >= 32:
+        return v[0] & jnp.uint32((1 << (k - 32)) - 1), v[1]
+    return jnp.zeros_like(v[0]), v[1] & jnp.uint32((1 << k) - 1)
 
-    Returns f0, f1, r0, r1 as (hi, lo) u32 pairs, each (B, L), matching the
-    reference register update (shmmrutils.rs:459-476).
-    """
-    valid = code < 4
-    n = valid.astype(U32)  # shift count: 1 if base consumed else 0
-    lob = jnp.where(valid, code & 1, 0).astype(U32)
-    hib = jnp.where(valid, (code >> 1) & 1, 0).astype(U32)
-    rc = jnp.where(valid, 3 ^ code, 0).astype(U32)
-    rlob = rc & 1
-    rhib = (rc >> 1) & 1
 
+def _step_registers(state, col_code, k: int):
+    """One base step of the rolling registers (reference:
+    shmmrutils.rs:459-476).  state/col arrays have shape (lanes,)."""
+    valid = col_code < 4
+    c = jnp.where(valid, col_code, 0).astype(U32)
+    rc = jnp.uint32(3) ^ c
     km1 = k - 1
-    zero = jnp.zeros_like(n)
 
-    def seed_f(bit):  # new low bit for the shift-left register
-        return (zero, bit)
+    def shift_in_f(reg, bit):
+        shifted = u64.shl_const(reg, 1)
+        return _mask_pair(u64.or_(shifted, (jnp.zeros_like(bit), bit)), k)
 
-    def seed_r(bit):  # new bit at position k-1 for the shift-right register
-        return u64.shl_const((zero, bit), km1)
+    def shift_in_r(reg, bit):
+        shifted = u64.shr_const(reg, 1)
+        top = u64.shl_const((jnp.zeros_like(bit), bit), km1)
+        return _mask_pair(u64.or_(shifted, top), k)
 
-    elems = dict(
-        n=n,
-        f0=seed_f(lob),
-        f1=seed_f(hib),
-        r0=seed_r(rlob),
-        r1=seed_r(rhib),
+    f0 = shift_in_f(state["f0"], c & 1)
+    f1 = shift_in_f(state["f1"], (c >> 1) & 1)
+    r0 = shift_in_r(state["r0"], rc & 1)
+    r1 = shift_in_r(state["r1"], (rc >> 1) & 1)
+
+    def sel(new, old):
+        return u64.where(valid, new, old)
+
+    return dict(
+        f0=sel(f0, state["f0"]),
+        f1=sel(f1, state["f1"]),
+        r0=sel(r0, state["r0"]),
+        r1=sel(r1, state["r1"]),
+        n=jnp.minimum(state["n"] + valid.astype(U32), jnp.uint32(63)),
     )
 
-    def combine(a, b):
-        bn = b["n"]
-        out = {"n": jnp.minimum(a["n"] + bn, jnp.uint32(63))}
-        for ch in ("f0", "f1"):
-            # X -> (X << n | v): compose v = (va << nb) | vb
-            out[ch] = u64.or_(u64.shl(a[ch], bn), b[ch])
-        for ch in ("r0", "r1"):
-            # X -> (X >> n | v): compose v = (va >> nb) | vb
-            out[ch] = u64.or_(u64.shr(a[ch], bn), b[ch])
-        return out
 
-    res = jax.lax.associative_scan(combine, elems, axis=code.ndim - 1)
-    mask = (1 << k) - 1
-    f0 = u64.mask_const(res["f0"], mask)
-    f1 = u64.mask_const(res["f1"], mask)
-    r0 = u64.mask_const(res["r0"], mask)
-    r1 = u64.mask_const(res["r1"], mask)
-    return f0, f1, r0, r1
+def _zero_state(lanes: int):
+    z = jnp.zeros((lanes,), dtype=U32)
+    zz = (z, z)
+    return dict(f0=zz, f1=zz, r0=zz, r1=zz, n=z)
+
+
+def _combine_transform(a, b, k: int):
+    """Compose chunk register transforms.  A transform (n, v) maps
+    X -> ((X << n) | v) for forward channels, X -> ((X >> n) | v) for
+    reverse channels; n is the clamped count of consumed bases."""
+    bn = b["n"]
+    out = {"n": jnp.minimum(a["n"] + bn, jnp.uint32(63))}
+    for ch in ("f0", "f1"):
+        out[ch] = _mask_pair(u64.or_(u64.shl(a[ch], bn), b[ch]), k)
+    for ch in ("r0", "r1"):
+        out[ch] = _mask_pair(u64.or_(u64.shr(a[ch], bn), b[ch]), k)
+    return out
+
+
+def _hash_cols(state, k: int):
+    """Per-position outputs from the current registers: x (hi,lo), full
+    hash (hi,lo), strand, palindrome flag."""
+    f0, f1, r0, r1 = state["f0"], state["f1"], state["r0"], state["r1"]
+    palindrome = u64.eq(f0, r0) & u64.eq(f1, r1)
+    reverse = u64.lt(r0, f0)
+    xor_const = u64.from_int(0xAD12CF59, like=f0[0])
+    h_f = u64.xor(u64.wang_hash(f0), u64.wang_hash(u64.xor(f1, xor_const)))
+    h_r = u64.xor(u64.wang_hash(r0), u64.wang_hash(u64.xor(r1, xor_const)))
+    h = u64.where(reverse, h_r, h_f)
+    x = u64.or_(u64.shl_const(h, 8), u64.from_int(k, like=h[0]))
+    return x, h, reverse.astype(U32), palindrome
+
+
+def _register_walk(code: jnp.ndarray, k: int, chunk: int):
+    """(B, L) codes -> per-position x (hi,lo), hash (hi,lo), strand,
+    palindrome, all (B, L), via the two-level scan."""
+    B, L = code.shape
+    nc = L // chunk
+    cols = code.reshape(B * nc, chunk).T  # (chunk, lanes)
+
+    # phase 1: per-chunk transform from zero state
+    def step1(st, col):
+        return _step_registers(st, col, k), None
+
+    agg, _ = jax.lax.scan(step1, _zero_state(B * nc), cols)
+
+    # phase 2 init: exclusive combine of chunk transforms per sequence
+    agg_b = jax.tree.map(lambda v: v.reshape(B, nc), agg)
+    inc = jax.lax.associative_scan(
+        lambda a, b: _combine_transform(a, b, k), agg_b, axis=1
+    )
+
+    def exclusive(v):
+        return jnp.concatenate(
+            [jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1
+        ).reshape(B * nc)
+
+    init = jax.tree.map(exclusive, inc)
+
+    # phase 3: replay with exact initial registers, emitting hashes
+    def step2(st, col):
+        st = _step_registers(st, col, k)
+        x, h, strand, palin = _hash_cols(st, k)
+        return st, (x[0], x[1], h[0], h[1], strand, palin)
+
+    _, outs = jax.lax.scan(step2, init, cols)
+
+    def back(v):  # (chunk, lanes) -> (B, L)
+        return v.T.reshape(B, L)
+
+    x_hi, x_lo, h_hi, h_lo, strand, palin = (back(v) for v in outs)
+    return (x_hi, x_lo), (h_hi, h_lo), strand, palin
 
 
 def _last_valid_scan(values: dict, valid: jnp.ndarray, axis: int, reverse=False):
     """Propagate the most recent valid element's values along axis.
-
     Returns (values_from_previous_valid, has_previous_valid); "previous"
-    means strictly earlier positions (later if reverse=True).
-    """
+    means strictly earlier positions (later if reverse=True)."""
     shifted_valid = jnp.roll(valid, -1 if reverse else 1, axis=axis)
     idx = [slice(None)] * valid.ndim
     idx[axis] = -1 if reverse else 0
@@ -123,7 +190,6 @@ def _last_valid_scan(values: dict, valid: jnp.ndarray, axis: int, reverse=False)
         return r.at[tuple(idx)].set(0)
 
     vals = {k: jax.tree.map(roll, v) for k, v in values.items()}
-
     elems = dict(has=shifted_valid, **vals)
 
     def combine(a, b):
@@ -140,7 +206,9 @@ def _last_valid_scan(values: dict, valid: jnp.ndarray, axis: int, reverse=False)
     return res, has
 
 
-@functools.partial(jax.jit, static_argnames=("k", "r", "min_span"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "r", "min_span", "chunk")
+)
 def sketch_mode2_dense(
     seqs_u8: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -148,41 +216,29 @@ def sketch_mode2_dense(
     k: int,
     r: int,
     min_span: int,
+    chunk: int = 512,
 ):
     """Mode-2 SHIMMER sketch of a padded batch.
 
     Args:
-      seqs_u8: (B, L) uint8 (pad with any non-ACGT byte, e.g. 0xNN/0xFF)
+      seqs_u8: (B, L) uint8, L a multiple of `chunk` (pad with non-ACGT)
       lengths: (B,) int32 true lengths
       rids:    (B,) uint32 sequence ids
-    Returns dict of (B, L) planes:
-      x_hi, x_lo : MM128.x = hash<<8|k as u32 pair
-      y_lo       : pos<<1|strand (y_hi is rids broadcast)
-      keep       : bool, final kept-mer mask (post min_span filter)
+    Returns dict of (B, L) planes: x_hi, x_lo, y_hi, y_lo, keep.
     """
     B, L = seqs_u8.shape
+    assert L % chunk == 0, "pad L to a multiple of chunk"
     code = encode_bases(seqs_u8)
-    f0, f1, r0, r1 = _register_scan(code, k)
+    x, h, strand, palindrome = _register_walk(code, k, chunk)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_seq = pos < lengths[:, None]
-    palindrome = u64.eq(f0, r0) & u64.eq(f1, r1)
     emits = in_seq & ~palindrome & (pos >= k)
 
-    reverse = u64.lt(r0, f0)
-    xor_const = u64.from_int(0xAD12CF59, like=f0[0])
-    h_f = u64.xor(u64.wang_hash(f0), u64.wang_hash(u64.xor(f1, xor_const)))
-    h_r = u64.xor(u64.wang_hash(r0), u64.wang_hash(u64.xor(r1, xor_const)))
-    h = u64.where(reverse, h_r, h_f)
-    strand = reverse.astype(U32)
-
-    threshold = u64.from_int(((1 << 64) - 1) >> 4 >> r, like=f0[0])
+    threshold = u64.from_int(((1 << 64) - 1) >> 4 >> r, like=h[0])
     selected = emits & u64.lt(h, threshold)
-
-    x = u64.or_(u64.shl_const(h, 8), u64.from_int(k, like=h[0]))
     y_lo = (pos.astype(U32) << 1) | strand
 
-    # min_span / distinctness filter over the selected subsequence
     posu = pos.astype(U32)
     prev, has_prev = _last_valid_scan(
         dict(x=x, p=posu), selected, axis=1, reverse=False
@@ -207,11 +263,13 @@ def sketch_mode2_dense(
     )
 
 
-def pad_batch(seqs, pad_to=None) -> Tuple[np.ndarray, np.ndarray]:
-    """Host helper: list of byte strings -> (B, L) uint8 + lengths."""
+def pad_batch(seqs, pad_to=None, multiple: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """Host helper: list of byte strings -> (B, L) uint8 + lengths, with L
+    padded to a multiple of the chunk size."""
     L = max((len(s) for s in seqs), default=0)
     if pad_to is not None:
         L = max(L, pad_to)
+    L = max(multiple, ((L + multiple - 1) // multiple) * multiple)
     B = len(seqs)
     arr = np.full((B, L), 0xFF, dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
@@ -222,14 +280,14 @@ def pad_batch(seqs, pad_to=None) -> Tuple[np.ndarray, np.ndarray]:
     return arr, lens
 
 
-def sketch_mode2(seqs, rids=None, spec: ShmmrSpec = None):
+def sketch_mode2(seqs, rids=None, spec: ShmmrSpec = None, chunk: int = 512):
     """Convenience host API: sketch byte sequences on device, return per-seq
     (x, y) uint64 numpy arrays (compacted), matching the scalar reference."""
     spec = spec or ShmmrSpec(sketch=True)
     assert spec.sketch, "sketch_mode2 requires spec.sketch=True"
     if rids is None:
         rids = list(range(len(seqs)))
-    arr, lens = pad_batch(seqs)
+    arr, lens = pad_batch(seqs, multiple=chunk)
     out = sketch_mode2_dense(
         jnp.asarray(arr),
         jnp.asarray(lens),
@@ -237,6 +295,7 @@ def sketch_mode2(seqs, rids=None, spec: ShmmrSpec = None):
         spec.k,
         spec.r,
         spec.min_span,
+        chunk,
     )
     keep = np.asarray(out["keep"])
     x = (np.asarray(out["x_hi"], dtype=np.uint64) << np.uint64(32)) | np.asarray(

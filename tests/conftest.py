@@ -7,7 +7,9 @@ import to exercise the multi-chip sharding paths.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may point JAX at a remote TPU
+# (JAX_PLATFORMS=axon) whose remote-compile path is far too slow for tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
