@@ -1,0 +1,194 @@
+"""Device-side SHIMMER pair construction and index building blocks.
+
+The reference keys its fragment index by canonical shimmer pairs held in a
+hash map (pgr-db/src/seq_db.rs:72-78).  On TPU the equivalent structure is
+a **sorted columnar table**: pair keys sorted lexicographically with
+segment boundaries, queried by vectorized binary search — hash maps are
+pointer-chasing, sorts and searches are XLA-native.
+
+All fixed-shape: kept mers are compacted to a static capacity per sequence
+(mode-2 density is ~2^-8 by construction; capacity defaults to L/64 which
+is ~4x the expected count), with validity masks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "block", "slots"))
+def compact_mers(
+    x_hi, x_lo, y_lo, selected, capacity: int, block: int = 1024,
+    slots: int = 32
+):
+    """Per-sequence compaction of selected mers to fixed capacity.
+
+    Two-level payload sort (sorting values alongside keys — gathers via
+    take_along_axis are pathologically slow on TPU):
+      1. sort each `block`-wide stripe by a u16 in-block position key
+         (invalid -> block), keep the first `slots` entries;
+      2. sort the (B, nb*slots) semi-compacted stream by global position
+         (invalid -> 0xFFFFFFFF), keep the first `capacity`.
+
+    A block holding more than `slots` selected mers loses the excess; the
+    returned `overflow` scalar flags that (mode-2 density is ~2^-8, so
+    slots=32 per 1024 gives 8x headroom — callers must check overflow and
+    fall back to an exact path if it fires).
+
+    Args: (B, L) planes from sketch_mode2_dense.
+    Returns (x_hi, x_lo, y_lo, valid) of shape (B, capacity) + overflow
+    bool scalar.
+    """
+    B, L = x_hi.shape
+    nb = L // block
+    selb = selected.reshape(B * nb, block)
+    posb = jax.lax.broadcasted_iota(jnp.int32, (B * nb, block), 1)
+    key = jnp.where(selb, posb, block).astype(jnp.uint16)
+    overflow = (selb.sum(axis=1) > slots).any()
+    k2, xh2, xl2, yl2 = jax.lax.sort(
+        (key, x_hi.reshape(B * nb, block), x_lo.reshape(B * nb, block),
+         y_lo.reshape(B * nb, block)),
+        num_keys=1,
+    )
+    k3 = k2[:, :slots].reshape(B, nb * slots)
+    xh3 = xh2[:, :slots].reshape(B, nb * slots)
+    xl3 = xl2[:, :slots].reshape(B, nb * slots)
+    yl3 = yl2[:, :slots].reshape(B, nb * slots)
+    valid3 = k3 != jnp.uint16(block)
+    gpos = jnp.where(valid3, yl3 >> 1, jnp.uint32(0xFFFFFFFF))
+    gpos2, xh4, xl4, yl4 = jax.lax.sort((gpos, xh3, xl3, yl3), num_keys=1)
+    valid = gpos2[:, :capacity] != jnp.uint32(0xFFFFFFFF)
+    return (
+        xh4[:, :capacity],
+        xl4[:, :capacity],
+        yl4[:, :capacity],
+        valid,
+        overflow,
+    )
+
+
+def min_span_filter_dense(x_hi, x_lo, y_lo, valid, min_span: int):
+    """min_span/distinctness filter on compacted (B, C) mer planes
+    (reference: shmmrutils.rs:536-555).  First/last valid mers are always
+    kept; interior mers need spacing > min_span and distinct neighbors."""
+    B, C = x_hi.shape
+    pos = (y_lo >> 1).astype(jnp.int32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    n_valid = valid.sum(axis=1, keepdims=True)
+    is_first = idx == 0
+    is_last = idx == (n_valid - 1)
+
+    def shift(v, by, fill):
+        return jnp.roll(v, by, axis=1).at[:, 0 if by > 0 else -1].set(fill)
+
+    p_pos = shift(pos, 1, 0)
+    n_pos = shift(pos, -1, 0)
+    p_hi, p_lo = shift(x_hi, 1, 0), shift(x_lo, 1, 0)
+    n_hi, n_lo = shift(x_hi, -1, 0), shift(x_lo, -1, 0)
+    distinct = ((p_hi != x_hi) | (p_lo != x_lo)) & (
+        (n_hi != x_hi) | (n_lo != x_lo)
+    )
+    interior_ok = (
+        (pos - p_pos > min_span) & (n_pos - pos > min_span) & distinct
+    )
+    return valid & (is_first | is_last | interior_ok)
+
+
+def pair_mers_dense(x_hi, x_lo, y_lo, valid):
+    """Consecutive canonical shimmer pairs from compacted (B, C) planes
+    (reference: seq_db.rs:386-399 — index convention, `<=` tie -> 0).
+
+    Returns (B, C) planes (entry i pairs mer i with mer i+1):
+      k0_hi, k0_lo, k1_hi, k1_lo : canonical (min-hash-first) pair key
+      bgn, end                   : fragment coordinates (pos+1)
+      orientation                : 0/1
+      pair_valid                 : both mers valid
+    The key planes hold the 56-bit hashes (x >> 8).
+    """
+    B, C = x_hi.shape
+
+    def nxt(v):
+        return jnp.roll(v, -1, axis=1)
+
+    # hash = x >> 8 as (hi, lo) pair
+    h_hi = x_hi >> 8
+    h_lo = (x_lo >> 8) | (x_hi << 24)
+    nh_hi, nh_lo = nxt(h_hi), nxt(h_lo)
+    swap = (h_hi > nh_hi) | ((h_hi == nh_hi) & (h_lo > nh_lo))
+    k0_hi = jnp.where(swap, nh_hi, h_hi)
+    k0_lo = jnp.where(swap, nh_lo, h_lo)
+    k1_hi = jnp.where(swap, h_hi, nh_hi)
+    k1_lo = jnp.where(swap, h_lo, nh_lo)
+    pos = (y_lo >> 1).astype(U32)
+    bgn = pos + 1
+    end = nxt(pos) + 1
+    pair_valid = valid & nxt(valid)
+    pair_valid = pair_valid.at[:, -1].set(False)
+    return dict(
+        k0_hi=k0_hi,
+        k0_lo=k0_lo,
+        k1_hi=k1_hi,
+        k1_lo=k1_lo,
+        bgn=bgn,
+        end=end,
+        orientation=swap.astype(U32),
+        pair_valid=pair_valid,
+    )
+
+
+def sort_pairs(pairs, sid):
+    """Sort all pairs of a batch by canonical key (invalid entries last).
+
+    pairs: dict from pair_mers_dense, (B, C) planes; sid: (B,) uint32.
+    Returns flat sorted arrays (N = B*C) of the same fields + sid, with a
+    leading validity mask; equal keys keep (sid, bgn) order so postings
+    lists match the reference's per-sequence insertion order.
+    """
+    B, C = pairs["k0_hi"].shape
+    N = B * C
+    flat = {k: v.reshape(N) for k, v in pairs.items()}
+    sid_f = jnp.broadcast_to(sid[:, None].astype(U32), (B, C)).reshape(N)
+    valid = flat["pair_valid"]
+    # force invalid keys to all-ones: they sort last AND the whole table
+    # stays key-sorted (real 56-bit hashes never reach 2^56), so binary
+    # search needs no separate validity handling
+    FF = jnp.uint32(0xFFFFFFFF)
+    def mkey(v):
+        return jnp.where(valid, v, FF)
+    operands = (
+        mkey(flat["k0_hi"]),
+        mkey(flat["k0_lo"]),
+        mkey(flat["k1_hi"]),
+        mkey(flat["k1_lo"]),
+        sid_f,
+        flat["bgn"],
+        flat["end"],
+        flat["orientation"],
+        valid.astype(U32),
+    )
+    sorted_ops = jax.lax.sort(operands, num_keys=6)
+    (k0h, k0l, k1h, k1l, s, b, e, o, va) = sorted_ops
+    return dict(
+        valid=va == 1,
+        k0_hi=k0h,
+        k0_lo=k0l,
+        k1_hi=k1h,
+        k1_lo=k1l,
+        sid=s,
+        bgn=b,
+        end=e,
+        orientation=o,
+    )
+
+
+def recompact_mers(x_hi, x_lo, y_lo, keep):
+    """Re-compact already-compacted (B, C) planes after a filter pass:
+    single payload sort by global position (invalid -> max)."""
+    gpos = jnp.where(keep, y_lo >> 1, jnp.uint32(0xFFFFFFFF))
+    gpos2, xh, xl, yl = jax.lax.sort((gpos, x_hi, x_lo, y_lo), num_keys=1)
+    valid = gpos2 != jnp.uint32(0xFFFFFFFF)
+    return xh, xl, yl, valid

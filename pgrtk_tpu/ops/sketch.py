@@ -21,9 +21,12 @@ pgr-db/src/shmmrutils.rs:417-669):
     length (no overlap/warm-up approximation).
   * All u64 quantities are (hi, lo) uint32 planes (ops.u64): TPU has no
     useful 64-bit integer path.
-  * Mode-2 emission (hash < threshold) plus the min_span/distinctness
-    filter (needs the previous/next *kept* mer) run as elementwise ops +
-    two last-valid associative scans, entirely on device.
+  * Mode-2 emission (hash < threshold) is a pure elementwise filter.  The
+    min_span/distinctness filter needs each kept mer's previous/next kept
+    neighbor, i.e. it acts on the ~0.4%-density compacted stream — it runs
+    after compaction (vectorized, host or device), not as a full-length
+    scan: a length-L associative scan is compile-hostile on TPU and wastes
+    HBM bandwidth on 99.6% dead lanes.
 
 Exactness vs the scalar reference is enforced by tests/test_ops_device.py.
 """
@@ -55,9 +58,27 @@ _CODE_TABLE = _byte_to_code_table()
 
 
 def encode_bases(seqs_u8: jnp.ndarray) -> jnp.ndarray:
-    """uint8 bytes -> 2-bit codes (4 = ambiguous), elementwise."""
-    table = jnp.asarray(_CODE_TABLE)
-    return table[seqs_u8.astype(jnp.int32)]
+    """uint8 bytes -> 2-bit codes (4 = ambiguous), elementwise.
+
+    Implemented with arithmetic selects, NOT a lookup table: an 8M-element
+    table gather costs ~70 ms on TPU (scalar gather path) while the select
+    chain is pure VPU (~1 ms).  Accepts raw 0-3 codes and ACGT/acgt
+    (reference table: shmmrutils.rs:426-436)."""
+    up = seqs_u8 & jnp.uint8(0xDF)  # fold lowercase onto uppercase
+    code = jnp.where(
+        seqs_u8 < 4,
+        seqs_u8.astype(jnp.uint32),
+        jnp.where(
+            up == ord("A"),
+            0,
+            jnp.where(
+                up == ord("C"),
+                1,
+                jnp.where(up == ord("G"), 2, jnp.where(up == ord("T"), 3, 4)),
+            ),
+        ).astype(jnp.uint32),
+    )
+    return code
 
 
 def _mask_pair(v, k: int):
@@ -120,9 +141,11 @@ def _combine_transform(a, b, k: int):
     return out
 
 
-def _hash_cols(state, k: int):
-    """Per-position outputs from the current registers: x (hi,lo), full
-    hash (hi,lo), strand, palindrome flag."""
+def _hash_cols(state, k: int, r: int):
+    """Per-position outputs from the current registers: x (hi,lo) and a
+    packed meta plane (bit0 = strand, bit1 = non-palindromic AND full hash
+    under the mode-2 threshold).  The full 64-bit hash is consumed inside
+    the scan body — it never touches HBM."""
     f0, f1, r0, r1 = state["f0"], state["f1"], state["r0"], state["r1"]
     palindrome = u64.eq(f0, r0) & u64.eq(f1, r1)
     reverse = u64.lt(r0, f0)
@@ -131,12 +154,15 @@ def _hash_cols(state, k: int):
     h_r = u64.xor(u64.wang_hash(r0), u64.wang_hash(u64.xor(r1, xor_const)))
     h = u64.where(reverse, h_r, h_f)
     x = u64.or_(u64.shl_const(h, 8), u64.from_int(k, like=h[0]))
-    return x, h, reverse.astype(U32), palindrome
+    threshold = u64.from_int(((1 << 64) - 1) >> 4 >> r, like=h[0])
+    ok = ~palindrome & u64.lt(h, threshold)
+    meta = reverse.astype(U32) | (ok.astype(U32) << 1)
+    return x, meta
 
 
-def _register_walk(code: jnp.ndarray, k: int, chunk: int):
-    """(B, L) codes -> per-position x (hi,lo), hash (hi,lo), strand,
-    palindrome, all (B, L), via the two-level scan."""
+def _register_walk(code: jnp.ndarray, k: int, r: int, chunk: int):
+    """(B, L) codes -> per-position x (hi,lo) and packed meta plane
+    (bit0 strand, bit1 ok), all (B, L), via the two-level scan."""
     B, L = code.shape
     nc = L // chunk
     cols = code.reshape(B * nc, chunk).T  # (chunk, lanes)
@@ -163,47 +189,16 @@ def _register_walk(code: jnp.ndarray, k: int, chunk: int):
     # phase 3: replay with exact initial registers, emitting hashes
     def step2(st, col):
         st = _step_registers(st, col, k)
-        x, h, strand, palin = _hash_cols(st, k)
-        return st, (x[0], x[1], h[0], h[1], strand, palin)
+        x, meta = _hash_cols(st, k, r)
+        return st, (x[0], x[1], meta)
 
     _, outs = jax.lax.scan(step2, init, cols)
 
     def back(v):  # (chunk, lanes) -> (B, L)
         return v.T.reshape(B, L)
 
-    x_hi, x_lo, h_hi, h_lo, strand, palin = (back(v) for v in outs)
-    return (x_hi, x_lo), (h_hi, h_lo), strand, palin
-
-
-def _last_valid_scan(values: dict, valid: jnp.ndarray, axis: int, reverse=False):
-    """Propagate the most recent valid element's values along axis.
-    Returns (values_from_previous_valid, has_previous_valid); "previous"
-    means strictly earlier positions (later if reverse=True)."""
-    shifted_valid = jnp.roll(valid, -1 if reverse else 1, axis=axis)
-    idx = [slice(None)] * valid.ndim
-    idx[axis] = -1 if reverse else 0
-    shifted_valid = shifted_valid.at[tuple(idx)].set(False)
-    sh = -1 if reverse else 1
-
-    def roll(v):
-        r = jnp.roll(v, sh, axis=axis)
-        return r.at[tuple(idx)].set(0)
-
-    vals = {k: jax.tree.map(roll, v) for k, v in values.items()}
-    elems = dict(has=shifted_valid, **vals)
-
-    def combine(a, b):
-        keep_b = b["has"]
-        out = {"has": a["has"] | keep_b}
-        for k in vals:
-            out[k] = jax.tree.map(
-                lambda av, bv: jnp.where(keep_b, bv, av), a[k], b[k]
-            )
-        return out
-
-    res = jax.lax.associative_scan(combine, elems, axis=axis, reverse=reverse)
-    has = res.pop("has")
-    return res, has
+    x_hi, x_lo, meta = (back(v) for v in outs)
+    return (x_hi, x_lo), meta
 
 
 @functools.partial(
@@ -224,42 +219,24 @@ def sketch_mode2_dense(
       seqs_u8: (B, L) uint8, L a multiple of `chunk` (pad with non-ACGT)
       lengths: (B,) int32 true lengths
       rids:    (B,) uint32 sequence ids
-    Returns dict of (B, L) planes: x_hi, x_lo, y_hi, y_lo, keep.
+    Returns dict of (B, L) planes: x_hi, x_lo, y_hi, y_lo, selected\n    (pre-min_span mask; apply min_span_filter_np after compaction).
     """
     B, L = seqs_u8.shape
     assert L % chunk == 0, "pad L to a multiple of chunk"
     code = encode_bases(seqs_u8)
-    x, h, strand, palindrome = _register_walk(code, k, chunk)
+    x, meta = _register_walk(code, k, r, chunk)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_seq = pos < lengths[:, None]
-    emits = in_seq & ~palindrome & (pos >= k)
-
-    threshold = u64.from_int(((1 << 64) - 1) >> 4 >> r, like=h[0])
-    selected = emits & u64.lt(h, threshold)
-    y_lo = (pos.astype(U32) << 1) | strand
-
-    posu = pos.astype(U32)
-    prev, has_prev = _last_valid_scan(
-        dict(x=x, p=posu), selected, axis=1, reverse=False
-    )
-    nxt, has_next = _last_valid_scan(
-        dict(x=x, p=posu), selected, axis=1, reverse=True
-    )
-    interior_ok = (
-        (posu - prev["p"] > min_span)
-        & (nxt["p"] - posu > min_span)
-        & ~u64.eq(prev["x"], x)
-        & ~u64.eq(x, nxt["x"])
-    )
-    keep = selected & (~has_prev | ~has_next | interior_ok)
+    selected = in_seq & (pos >= k) & ((meta & 2) != 0)
+    y_lo = (pos.astype(U32) << 1) | (meta & 1)
 
     return dict(
         x_hi=x[0],
         x_lo=x[1],
         y_lo=y_lo,
         y_hi=jnp.broadcast_to(rids[:, None].astype(U32), (B, L)),
-        keep=keep,
+        selected=selected,
     )
 
 
@@ -280,6 +257,24 @@ def pad_batch(seqs, pad_to=None, multiple: int = 512) -> Tuple[np.ndarray, np.nd
     return arr, lens
 
 
+def min_span_filter_np(x, pos, min_span: int):
+    """Vectorized min_span/distinctness filter on a compacted mer stream
+    (reference: shmmrutils.rs:536-555).  x: uint64 array, pos: int array.
+    Returns a boolean keep mask."""
+    n = x.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = True
+    keep[-1] = True
+    if n > 2:
+        pd = pos[1:-1] - pos[:-2] > min_span
+        nd = pos[2:] - pos[1:-1] > min_span
+        dx = (x[1:-1] != x[:-2]) & (x[1:-1] != x[2:])
+        keep[1:-1] = pd & nd & dx
+    return keep
+
+
 def sketch_mode2(seqs, rids=None, spec: ShmmrSpec = None, chunk: int = 512):
     """Convenience host API: sketch byte sequences on device, return per-seq
     (x, y) uint64 numpy arrays (compacted), matching the scalar reference."""
@@ -297,15 +292,18 @@ def sketch_mode2(seqs, rids=None, spec: ShmmrSpec = None, chunk: int = 512):
         spec.min_span,
         chunk,
     )
-    keep = np.asarray(out["keep"])
+    sel = np.asarray(out["selected"])
     x = (np.asarray(out["x_hi"], dtype=np.uint64) << np.uint64(32)) | np.asarray(
         out["x_lo"], dtype=np.uint64
     )
     y_lo = np.asarray(out["y_lo"], dtype=np.uint64)
     res = []
     for i in range(len(seqs)):
-        sel = np.flatnonzero(keep[i])
-        xs = x[i, sel]
-        ys = (np.uint64(int(rids[i])) << np.uint64(32)) | y_lo[i, sel]
+        idx = np.flatnonzero(sel[i])
+        xs = x[i, idx]
+        pos = (y_lo[i, idx].astype(np.int64)) >> 1
+        keep = min_span_filter_np(xs, pos, spec.min_span)
+        xs = xs[keep]
+        ys = (np.uint64(int(rids[i])) << np.uint64(32)) | y_lo[i, idx][keep]
         res.append((xs, ys))
     return res

@@ -1,0 +1,202 @@
+"""Device mesh construction and sharded pipeline steps.
+
+The reference is single-node rayon data parallelism (SURVEY §2.3); the
+TPU-native scale-out axis is the same one — sequences/queries — sharded
+over a 1-D ("data",) jax.sharding.Mesh.  The SHIMMER index is replicated
+per device in v1 (HPRC-year-1 scale fits HBM; matches reference mmap
+semantics); cross-device reductions ride ICI collectives:
+  - psum for pair/coverage counts
+  - all_gather for merged hit lists
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import pairs as pairs_ops
+from ..ops import sketch as sketch_ops
+
+U32 = jnp.uint32
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_sketch_index_step(
+    mesh: Mesh,
+    k: int = 56,
+    r: int = 4,
+    min_span: int = 64,
+    chunk: int = 512,
+    capacity_div: int = 64,
+):
+    """Build the jitted multi-chip indexing step.
+
+    The returned fn maps (seqs_u8 (B, L), lengths (B,), rids (B,)) — B
+    sharded over the data axis — to a dict with the locally-sorted pair
+    table (sharded) and globally psum-reduced statistics.  This is the
+    flagship "one training step equivalent": sketch -> compact ->
+    min_span filter -> pair -> sort -> global stats, all on device.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def local_step(seqs_u8, lengths, rids):
+        out = sketch_ops.sketch_mode2_dense(
+            seqs_u8, lengths, rids, k, r, min_span, chunk
+        )
+        B, L = seqs_u8.shape
+        capacity = max(128, L // capacity_div)
+        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers(
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], capacity
+        )
+        keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, min_span)
+        # re-compact after the filter so pairs link consecutive kept mers
+        xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
+        pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
+        local = pairs_ops.sort_pairs(pr, rids)
+        n_pairs_local = pr["pair_valid"].sum()
+        n_mers_local = keep.sum()
+        n_pairs = jax.lax.psum(n_pairs_local, axis)
+        n_mers = jax.lax.psum(n_mers_local, axis)
+        # replicated-index v1: gather every shard's pairs and sort the full
+        # table on each device (the merged sorted table IS the index)
+        gathered = {
+            kk: jax.lax.all_gather(v, axis, tiled=True)
+            for kk, v in local.items()
+        }
+        operands = (
+            gathered["k0_hi"],
+            gathered["k0_lo"],
+            gathered["k1_hi"],
+            gathered["k1_lo"],
+            gathered["sid"],
+            gathered["bgn"],
+            gathered["end"],
+            gathered["orientation"],
+            gathered["valid"].astype(U32),
+        )
+        k0h, k0l, k1h, k1l, s, b, e, o, va = jax.lax.sort(
+            operands, num_keys=6
+        )
+        table = dict(
+            valid=va == 1,
+            k0_hi=k0h, k0_lo=k0l, k1_hi=k1h, k1_lo=k1l,
+            sid=s, bgn=b, end=e, orientation=o,
+        )
+        return dict(table=table, n_pairs=n_pairs, n_mers=n_mers)
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis)),
+        out_specs=dict(
+            table={
+                kk: P()
+                for kk in (
+                    "valid", "k0_hi", "k0_lo", "k1_hi", "k1_lo", "sid",
+                    "bgn", "end", "orientation",
+                )
+            },
+            n_pairs=P(),
+            n_mers=P(),
+        ),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
+                             min_span: int = 64, chunk: int = 512,
+                             capacity_div: int = 64):
+    """Multi-chip query step: sketch the (sharded) query batch against a
+    replicated sorted key table; per-shard hit counts are merged with
+    psum and the per-query hit mask all_gathered."""
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def local_step(seqs_u8, lengths, rids, key_hi0, key_lo0, key_hi1, key_lo1):
+        out = sketch_ops.sketch_mode2_dense(
+            seqs_u8, lengths, rids, k, r, min_span, chunk
+        )
+        B, L = seqs_u8.shape
+        capacity = max(128, L // capacity_div)
+        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers(
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], capacity
+        )
+        keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, min_span)
+        xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
+        pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
+        # vectorized binary search of each pair key in the replicated table
+        hit = _searchsorted_pairkey(
+            key_hi0, key_lo0, key_hi1, key_lo1,
+            pr["k0_hi"], pr["k0_lo"], pr["k1_hi"], pr["k1_lo"],
+        )
+        hit = hit & pr["pair_valid"]
+        n_hits = jax.lax.psum(hit.sum(), axis)
+        all_hits = jax.lax.all_gather(hit, axis, tiled=True)
+        return n_hits, all_hits
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis), P(axis), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def _searchsorted_pairkey(t_h0, t_l0, t_h1, t_l1, q_h0, q_l0, q_h1, q_l1):
+    """Does each query pair key exist in the sorted table?  128-bit keys as
+    4 u32 planes; lexicographic binary search, fully vectorized."""
+    # 128-bit lexicographic lower_bound by explicit binary search over the
+    # 4 u32 planes (jnp.searchsorted only handles single-plane keys).
+    n = t_h0.shape[0]
+    n_steps = max(1, int(np.ceil(np.log2(n + 1))))
+
+    def t_less_q(idx):
+        th0, tl0 = t_h0[idx], t_l0[idx]
+        th1, tl1 = t_h1[idx], t_l1[idx]
+        return (
+            (th0 < q_h0)
+            | ((th0 == q_h0) & (tl0 < q_l0))
+            | ((th0 == q_h0) & (tl0 == q_l0) & (th1 < q_h1))
+            | (
+                (th0 == q_h0)
+                & (tl0 == q_l0)
+                & (th1 == q_h1)
+                & (tl1 < q_l1)
+            )
+        )
+
+    lo = jnp.zeros(q_h0.shape, dtype=jnp.int32)
+    hi = jnp.full(q_h0.shape, n, dtype=jnp.int32)
+    for _ in range(n_steps):
+        active = lo < hi
+        mid = jnp.clip((lo + hi) // 2, 0, n - 1)
+        less = t_less_q(mid)
+        lo = jnp.where(active & less, mid + 1, lo)
+        hi = jnp.where(active & ~less, mid, hi)
+    idx = jnp.clip(lo, 0, n - 1)
+    found = (
+        (lo < n)
+        & (t_h0[idx] == q_h0)
+        & (t_l0[idx] == q_l0)
+        & (t_h1[idx] == q_h1)
+        & (t_l1[idx] == q_l1)
+    )
+    return found

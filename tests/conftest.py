@@ -10,6 +10,10 @@ import sys
 # Force CPU: the ambient environment may point JAX at a remote TPU
 # (JAX_PLATFORMS=axon) whose remote-compile path is far too slow for tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: the scan kernels take ~30s each to compile on
+# CPU XLA; cache them across test runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
