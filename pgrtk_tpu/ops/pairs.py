@@ -44,6 +44,14 @@ def compact_mers(
     bool scalar.
     """
     B, L = x_hi.shape
+    if L % block:
+        pad = block - (L % block)
+        pad2 = [(0, 0), (0, pad)]
+        x_hi = jnp.pad(x_hi, pad2)
+        x_lo = jnp.pad(x_lo, pad2)
+        y_lo = jnp.pad(y_lo, pad2)
+        selected = jnp.pad(selected, pad2, constant_values=False)
+        L += pad
     nb = L // block
     selb = selected.reshape(B * nb, block)
     posb = jax.lax.broadcasted_iota(jnp.int32, (B * nb, block), 1)

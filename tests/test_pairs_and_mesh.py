@@ -1,0 +1,110 @@
+"""Device pair-construction and sharded pipeline tests (CPU backend,
+virtual 8-device mesh via conftest)."""
+import os
+
+import numpy as np
+import pytest
+
+from pgrtk_tpu.core import sketch_ref
+from pgrtk_tpu.core.fasta import read_fastx_all
+from pgrtk_tpu.core.spec import ShmmrSpec
+
+SPEC = ShmmrSpec(sketch=True)
+
+
+def _expected_pairs(seqs, spec):
+    """Reference-derived canonical pair multiset {key -> [(sid,bgn,end,ori)]}."""
+    out = {}
+    for sid, s in enumerate(seqs):
+        mers = sketch_ref.sequence_to_shmmrs(sid, s, spec)
+        for i in range(len(mers) - 1):
+            h0 = mers[i][0] >> 8
+            h1 = mers[i + 1][0] >> 8
+            p0 = ((mers[i][1] & 0xFFFFFFFF) >> 1) + 1
+            p1 = ((mers[i + 1][1] & 0xFFFFFFFF) >> 1) + 1
+            if h0 <= h1:
+                key, ori = (h0, h1), 0
+            else:
+                key, ori = (h1, h0), 1
+            out.setdefault(key, []).append((sid, p0, p1, ori))
+    return out
+
+
+def _device_table(seqs, spec, capacity=512):
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import pairs as pairs_ops
+    from pgrtk_tpu.ops import sketch as dsk
+
+    arr, lens = dsk.pad_batch([s for s in seqs], multiple=512)
+    out = dsk.sketch_mode2_dense(
+        jnp.asarray(arr),
+        jnp.asarray(lens),
+        jnp.arange(len(seqs), dtype=jnp.uint32),
+        spec.k,
+        spec.r,
+        spec.min_span,
+        512,
+    )
+    xh, xl, yl, valid, ovf = pairs_ops.compact_mers(
+        out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], capacity
+    )
+    assert not bool(ovf)
+    keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, spec.min_span)
+    xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
+    pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
+    table = pairs_ops.sort_pairs(
+        pr, jnp.arange(len(seqs), dtype=jnp.uint32)
+    )
+    return {k: np.asarray(v) for k, v in table.items()}
+
+
+def test_device_pair_table_matches_reference(test_data_dir):
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs.fa"))[:16]
+    seqs = [r.seq for r in recs]
+    expected = _expected_pairs(seqs, SPEC)
+    table = _device_table(seqs, SPEC)
+    valid = table["valid"]
+    n = valid.sum()
+    assert n == sum(len(v) for v in expected.values())
+    got = {}
+    k0 = (table["k0_hi"].astype(np.uint64) << np.uint64(32)) | table["k0_lo"]
+    k1 = (table["k1_hi"].astype(np.uint64) << np.uint64(32)) | table["k1_lo"]
+    for i in np.flatnonzero(valid):
+        got.setdefault((int(k0[i]), int(k1[i])), []).append(
+            (
+                int(table["sid"][i]),
+                int(table["bgn"][i]),
+                int(table["end"][i]),
+                int(table["orientation"][i]),
+            )
+        )
+    assert got == expected
+    # sortedness: valid prefix of keys non-decreasing
+    kk = np.stack([k0[valid], k1[valid]], axis=1)
+    assert all(
+        tuple(kk[i]) <= tuple(kk[i + 1]) for i in range(len(kk) - 1)
+    )
+
+
+def test_dryrun_multichip_smoke():
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_jits():
+    import sys
+
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert "selected" in out
