@@ -262,6 +262,284 @@ class SeqIndexDB:
                 out.append((h0, h1, sid, b, e, ori))
         return out
 
+    # ------------------------------------------------------------------
+    # MAP graph / principal bundles (reference: ext.rs:491-650 and the
+    # PyO3 layer pgr-tk/src/lib.rs:894-1315)
+    # ------------------------------------------------------------------
+    def get_smp_adj_list(self, min_count: int, keeps=None):
+        from .graph import bundles as gb
+
+        return gb.frag_map_to_adj_list(self.get_shmmr_map(), min_count, keeps)
+
+    def sort_adj_list_by_weighted_dfs(self, adj_list, start):
+        from .graph import bundles as gb
+
+        return gb.sort_adj_list_by_weighted_dfs(
+            self.get_shmmr_map(), adj_list, tuple(start)
+        )
+
+    def get_principal_bundles(
+        self, min_count: int, path_len_cutoff: int, keeps=None
+    ):
+        from .graph import bundles as gb
+
+        frag_map = self.get_shmmr_map()
+        adj_list = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
+        if not adj_list:
+            return []
+        pb, _ = gb.get_principal_bundles_from_adj_list(
+            frag_map, adj_list, path_len_cutoff
+        )
+        return pb
+
+    @staticmethod
+    def _get_vertex_map_from_principal_bundles(pb):
+        out = {}
+        for bundle_id, path in enumerate(pb):
+            for p, v in enumerate(path):
+                out[(v[0], v[1])] = (bundle_id, v[2], p)
+        return out
+
+    def get_smps(self, seq: bytes):
+        """Canonical shimmer pairs of a sequence (query convention:
+        strict `<`, tie -> 1; reference: ext.rs:533-549)."""
+        from .core import query as query_mod
+        from .core import sketch as sketch_mod
+
+        mers = sketch_mod.sequence_to_shmmrs(0, seq, self.shmmr_spec, False)
+        return query_mod.pair_shmmrs_canonical(mers)
+
+    def get_principal_bundles_with_id(
+        self, min_count: int, path_len_cutoff: int, keeps=None
+    ):
+        """Reordered bundles + vertex map (reference: ext.rs:552-650).
+        Returns ([(bid, mean_order, [(h0, h1, dir)])], vertex_map)."""
+        pb = self.get_principal_bundles(min_count, path_len_cutoff, keeps)
+        seqid_seq_list = [
+            (sid, self.get_seq_by_id(sid)) for sid in sorted(self.seq_info)
+        ]
+        pbid, _sid_smps, vertex_map = self._principal_bundle_projection(
+            pb, seqid_seq_list, return_vertex_map=True
+        )
+        return pbid, vertex_map
+
+    def _principal_bundle_projection(
+        self, pb, seqid_seq_list, return_vertex_map: bool = False
+    ):
+        """(reference: pgr-tk/src/lib.rs:1147-1285)"""
+        vertex_map = self._get_vertex_map_from_principal_bundles(pb)
+        seqid_smps = [
+            (sid, self.get_smps(seq)) for sid, seq in seqid_seq_list
+        ]
+
+        bundle_dirs: Dict[int, List[int]] = {}
+        bundle_orders: Dict[int, List[float]] = {}
+        for _sid, smps in seqid_smps:
+            visited = set()
+            for order, v in enumerate(smps):
+                bid = vertex_map.get((v[0], v[1]))
+                if bid is None:
+                    continue
+                if bid[0] not in visited:
+                    bundle_orders.setdefault(bid[0], []).append(float(order))
+                    visited.add(bid[0])
+                bundle_dirs.setdefault(bid[0], []).append(
+                    0 if bid[1] == v[4] else 1
+                )
+
+        mean_order_direction = []
+        for bid in range(len(pb)):
+            if bid in bundle_orders:
+                orders = bundle_orders[bid]
+                mean_ord = int(sum(orders) / len(orders))
+                dirs = bundle_dirs[bid]
+                direction = 0 if sum(dirs) < (len(dirs) >> 1) else 1
+                mean_order_direction.append((mean_ord, bid, direction))
+            else:
+                mean_order_direction.append((2**63, bid, 0))
+        mean_order_direction.sort()
+
+        principal_bundles = []
+        for ord_, bid, direction in mean_order_direction:
+            if direction == 1:
+                rpb = [(v[0], v[1], 1 - v[2]) for v in reversed(pb[bid])]
+                for p, v in enumerate(rpb):
+                    vertex_map[(v[0], v[1])] = (bid, v[2], p)
+                bundle = rpb
+            else:
+                bundle = list(pb[bid])
+            principal_bundles.append((bid, ord_, bundle))
+
+        sid_smps = [
+            (
+                sid,
+                [(tuple(v), vertex_map.get((v[0], v[1]))) for v in smps],
+            )
+            for sid, smps in seqid_smps
+        ]
+        if return_vertex_map:
+            return principal_bundles, sid_smps, vertex_map
+        return principal_bundles, sid_smps
+
+    def get_principal_bundle_decomposition(
+        self, min_count: int, path_len_cutoff: int, keeps=None
+    ):
+        pb = self.get_principal_bundles(min_count, path_len_cutoff, keeps)
+        seqid_seq_list = [
+            (sid, self.get_seq_by_id(sid)) for sid in sorted(self.seq_info)
+        ]
+        return self._principal_bundle_projection(pb, seqid_seq_list)
+
+    def get_principal_bundle_projection(
+        self, min_count: int, path_len_cutoff: int, sequence, keeps=None
+    ):
+        pb = self.get_principal_bundles(min_count, path_len_cutoff, keeps)
+        return self._principal_bundle_projection(pb, sequence)
+
+    def generate_mapg_gfa(
+        self, min_count: int, filepath: str, method: str = "from_fragmap",
+        keeps=None
+    ):
+        from .graph import bundles as gb
+        from .graph import gfa as gfa_mod
+
+        frag_map = self.get_shmmr_map()
+        if method == "from_fragmap":
+            adj_list = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
+        else:
+            keep_set = set(keeps) if keeps is not None else None
+            adj_list = []
+            for sid in sorted(self.seq_info):
+                seq = self.get_seq_by_id(sid)
+                mc = 0 if (keep_set and sid in keep_set) else min_count
+                adj_list.extend(
+                    gb.generate_smp_adj_list_for_seq(
+                        seq, sid, frag_map, self.shmmr_spec, mc
+                    )
+                )
+        gfa_mod.write_mapg_gfa(frag_map, adj_list, self.shmmr_spec.k, filepath)
+
+    def write_mapg_idx(self, filepath: str):
+        from .graph import gfa as gfa_mod
+
+        gfa_mod.write_mapg_idx(
+            self.shmmr_spec, self.seq_info, self.get_shmmr_map(), filepath
+        )
+
+    def generate_principal_mapg_gfa(
+        self, min_count: int, path_len_cutoff: int, filepath: str, keeps=None
+    ):
+        from .graph import bundles as gb
+        from .graph import gfa as gfa_mod
+
+        frag_map = self.get_shmmr_map()
+        adj_list = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
+        if not adj_list:
+            return
+        pb, filtered_adj = gb.get_principal_bundles_from_adj_list(
+            frag_map, adj_list, path_len_cutoff
+        )
+        vertex_map = self._get_vertex_map_from_principal_bundles(pb)
+        gfa_mod.write_mapg_gfa(
+            frag_map,
+            filtered_adj,
+            self.shmmr_spec.k,
+            filepath,
+            vertex_to_bundle=vertex_map,
+        )
+
+    # ------------------------------------------------------------------
+    # position mapping (reference: pgr-tk/src/lib.rs:471-620)
+    # ------------------------------------------------------------------
+    def map_positions_in_seq(
+        self,
+        positions,
+        seq: bytes,
+        penalty: float,
+        max_count=None,
+        max_count_query=None,
+        max_count_target=None,
+        max_aln_span=None,
+        max_gap=None,
+        orientated: bool = False,
+    ):
+        from .core import query as query_mod
+        from .core.fasta import reverse_complement
+        from .native import api as native
+
+        k = self.shmmr_spec.k
+        raw = query_mod.raw_query_fragment(
+            self._lookup_fn(), seq, self.shmmr_spec
+        )
+        all_alns = query_mod.query_fragment_to_hps(
+            raw,
+            penalty,
+            max_count,
+            max_count_query,
+            max_count_target,
+            max_aln_span,
+            max_gap,
+            orientated,
+        )
+        pos2hits: Dict[int, list] = {}
+        for t_id, alns in all_alns:
+            for score, hits in alns:
+                hits = sorted(hits)
+                for pos in positions:
+                    left = None
+                    right = None
+                    for v, w in hits:
+                        if v[0] < pos:
+                            left = (v, w)
+                        if right is None and pos < v[1]:
+                            right = (v, w)
+                    if left is not None and right is not None:
+                        pos2hits.setdefault(pos, []).append(
+                            (t_id, score, left, right)
+                        )
+
+        out = []
+        for pos, hits in pos2hits.items():
+            for seq_id, _score, left, right in hits:
+                ctg, src, t_len = self.seq_info[seq_id]
+                same_orientation = left[0][2] == left[1][2]
+                qb = left[0][0]
+                qe = right[0][1]
+                if same_orientation:
+                    tb = left[1][0]
+                    te = right[1][1]
+                else:
+                    tb = right[1][0] - k
+                    te = left[1][1] - k
+                if tb >= te:
+                    continue
+                t_seq = self.get_sub_seq(src, ctg, tb, te)
+                if not same_orientation:
+                    t_seq = reverse_complement(t_seq)
+                q_seq = bytes(seq[qb:qe])
+                ovlp = native.match_reads(
+                    q_seq, t_seq, True, 0.10, 1, 1, 1000
+                )
+                if ovlp is None:
+                    continue
+                dpos = pos - qb
+                delta = list(ovlp["deltas"]) + [(0, 0, 0)]
+                dref = None
+                for dx, dy, _dk in delta:
+                    if dx <= dpos:
+                        dref = (dx, dy)
+                        break
+                orientation = 0 if same_orientation else 1
+                dpos = dpos + dref[1] - dref[0]
+                if same_orientation:
+                    tpos = tb + dpos
+                    tb2, te2 = tb, te
+                else:
+                    tb2, te2 = t_len - te, t_len - tb
+                    tpos = t_len - (te - dpos)
+                out.append((pos, (seq_id, tpos, orientation), (qb, qe), (tb2, te2)))
+        return out
+
     def get_shmmr_pair_source_count(self, max_unique_count=None):
         counts = {}
         for (h0, h1), sigs in self.get_shmmr_map().items():
@@ -273,3 +551,22 @@ class SeqIndexDB:
             if max_unique_count is None or len(sources) <= max_unique_count:
                 counts[(h0, h1)] = len(sources)
         return counts
+
+
+def get_principal_bundle_decomposition(vertex_to_bundle_id_direction_pos, seq_db):
+    """Free-function decomposition against a precomputed vertex map
+    (reference: ext.rs:976-1015)."""
+    out = []
+    for sid in sorted(seq_db.seq_info):
+        seq = seq_db.get_seq_by_id(sid)
+        smps = seq_db.get_smps(seq)
+        out.append(
+            (
+                sid,
+                [
+                    (tuple(v), vertex_to_bundle_id_direction_pos.get((v[0], v[1])))
+                    for v in smps
+                ],
+            )
+        )
+    return out
