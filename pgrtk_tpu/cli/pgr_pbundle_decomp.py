@@ -200,8 +200,8 @@ def main(argv=None):
             import numpy as np
 
             return np.format_float_positional(
-                np.float32(v), unique=True, trim="0"
-            ).rstrip(".") or "0"
+                np.float32(v), unique=True, trim="-"
+            )
 
         for sid, (ctg, _src, length) in seq_info:
             rep = repeat_count.get(sid, [])
