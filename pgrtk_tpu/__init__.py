@@ -6,7 +6,19 @@ decomposition) for TPU hardware: JAX/XLA/Pallas device kernels for the
 batched compute paths, a native C++ runtime for host-side scalar kernels
 and IO, and jax.sharding meshes for multi-chip scale-out.
 """
-from .api import SeqIndexDB  # noqa: F401
+from .api import SeqIndexDB, get_principal_bundle_decomposition  # noqa: F401
+from .core.ec import (  # noqa: F401
+    guided_shmmr_dbg_consensus,
+    naive_dbg_consensus,
+    shmmr_dbg_consensus,
+    shmmr_sparse_aln_consensus,
+)
+from .core.wfa import (  # noqa: F401
+    get_variant_segments,
+    get_variants_from_aln_pair_map,
+    wfa_align_bases,
+    wfa_aln_pair_map,
+)
 from .core.fasta import reverse_complement  # noqa: F401
 from .core.spec import ShmmrSpec  # noqa: F401
 

@@ -540,6 +540,17 @@ class SeqIndexDB:
                 out.append((pos, (seq_id, tpos, orientation), (qb, qe), (tb2, te2)))
         return out
 
+    def shmmr_sparse_aln_consensus(self, sids, min_cov: int):
+        """Consensus from DB sequences (reference: pgr-tk/src/lib.rs:1387-1403)."""
+        from .core import ec
+
+        assert self.backend in (Backend.MEMORY, Backend.FASTX), (
+            "shmmr_sparse_aln_consensus needs an in-memory backend"
+        )
+        return ec.shmmr_sparse_aln_consensus_with_sdb(
+            list(sids), self.seq_db, min_cov
+        )
+
     def get_shmmr_pair_source_count(self, max_unique_count=None):
         counts = {}
         for (h0, h1), sigs in self.get_shmmr_map().items():

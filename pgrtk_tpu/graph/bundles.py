@@ -144,7 +144,20 @@ def sort_adj_list_by_weighted_dfs(
             score[v] = len(frag_map[(v[0], v[1])])
         if w not in score:
             score[w] = len(frag_map[(w[0], w[1])])
+    return weighted_dfs_walk(g, score, start)
 
+
+def build_digraph(adj_list: Sequence[AdjPair]) -> "_Digraph":
+    g = _Digraph()
+    for _sid, v, w in adj_list:
+        g.add_edge(v, w)
+    return g
+
+
+def weighted_dfs_walk(g: "_Digraph", score: Dict[Node, int], start: Node):
+    """The BiDiGraphWeightedDfs walk itself, with caller-provided scores
+    (used directly by the consensus module; reference:
+    graph_utils.rs:63-290)."""
     out = []
     discovered: Set[Node] = set()
     # max-heap keyed on (score, node) — Rust BinaryHeap pops the largest

@@ -1,0 +1,183 @@
+"""Bundle decomposition, WFA, and consensus tests."""
+import os
+import random
+import subprocess
+import sys
+
+import pytest
+
+import pgrtk_tpu
+from pgrtk_tpu.core import ec, wfa
+from pgrtk_tpu.core.fasta import read_fastx_all
+
+
+@pytest.fixture(scope="module")
+def amy_db(test_data_dir):
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_fastx(os.path.join(test_data_dir, "test_seqs.fa"))
+    return db
+
+
+def test_principal_bundles(amy_db):
+    pb = amy_db.get_principal_bundles(2, 8)
+    assert pb, "should find at least one bundle"
+    # bundles sorted by length descending
+    assert all(len(pb[i]) >= len(pb[i + 1]) for i in range(len(pb) - 1))
+    # skew symmetry: each node has orientation 0/1
+    for path in pb:
+        for h0, h1, o in path:
+            assert h0 <= h1 and o in (0, 1)
+
+
+def test_bundle_decomposition_roundtrip(amy_db):
+    pbid, sid_smps = amy_db.get_principal_bundle_decomposition(2, 8)
+    assert pbid
+    smap = dict(sid_smps)
+    # every sequence decomposes; most smps of the AMY region belong to
+    # the main bundle
+    assert set(smap) == set(amy_db.seq_info)
+    parts = pgrtk_tpu.group_smps_by_principle_bundle_id(smap[0], 50, 100000)
+    assert parts
+    covered = sum(p[-1][0][3] - p[0][0][2] for p in parts)
+    assert covered > 0.5 * amy_db.seq_info[0][2]
+
+
+def test_adj_list_skew_symmetry(amy_db):
+    adj = amy_db.get_smp_adj_list(2)
+    edges = {(v, w) for _sid, v, w in adj}
+    for _sid, v, w in adj:
+        rv = (v[0], v[1], 1 - v[2])
+        rw = (w[0], w[1], 1 - w[2])
+        assert (rw, rv) in edges, "reverse-complement edge must exist"
+
+
+def test_gfa_write(amy_db, tmp_path):
+    gfa = tmp_path / "g.gfa"
+    amy_db.generate_mapg_gfa(2, str(gfa))
+    lines = gfa.read_text().splitlines()
+    assert lines[0].startswith("H\t")
+    s_lines = [l for l in lines if l.startswith("S\t")]
+    l_lines = [l for l in lines if l.startswith("L\t")]
+    assert s_lines and l_lines
+    # segment ids referenced by L lines exist
+    sids = {l.split("\t")[1] for l in s_lines}
+    for l in l_lines:
+        f = l.split("\t")
+        assert f[1] in sids and f[3] in sids
+    ent = pgrtk_tpu.compute_graph_diffusion_entropy(str(gfa))
+    assert ent[0] > 0
+
+
+def test_pbundle_decomp_cli_and_tools(test_data_dir, tmp_path):
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    prefix = str(tmp_path / "out")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pgrtk_tpu.cli.pgr_pbundle_decomp",
+            os.path.join(test_data_dir, "test_seqs.fa"), prefix,
+        ],
+        capture_output=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    for ext in (".bed", ".ctg.summary.tsv", ".mapg.gfa", ".pmapg.gfa",
+                ".mapg.idx", ".pdb"):
+        assert os.path.exists(prefix + ext), ext
+    bed_lines = [
+        l for l in open(prefix + ".bed").read().splitlines()
+        if not l.startswith("#")
+    ]
+    assert bed_lines
+    f = bed_lines[0].split("\t")
+    assert len(f) == 4 and len(f[3].split(":")) == 6
+
+    # precomputed-bundle path reproduces the BED exactly
+    prefix2 = str(tmp_path / "out2")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pgrtk_tpu.cli.pgr_pbundle_decomp",
+            os.path.join(test_data_dir, "test_seqs.fa"), prefix2,
+            "--precomputed-bundles", prefix + ".pdb",
+        ],
+        capture_output=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    a = open(prefix + ".bed").read().splitlines()[1:]
+    b = open(prefix2 + ".bed").read().splitlines()[1:]
+    assert a == b
+
+    # downstream tools run on the BED
+    for mod, outfile in (
+        ("pgr_pbundle_bed2dist", "d.dist"),
+        ("pgr_pbundle_bed2sorted", "s.ord"),
+        ("pgr_pbundle_bed2offset", "o.offset"),
+    ):
+        out_prefix = str(tmp_path / outfile.split(".")[0])
+        r = subprocess.run(
+            [
+                sys.executable, "-m", f"pgrtk_tpu.cli.{mod}",
+                prefix + ".bed", out_prefix,
+            ],
+            capture_output=True, env=env,
+        )
+        assert r.returncode == 0, (mod, r.stderr.decode())
+        assert os.path.exists(str(tmp_path / outfile))
+
+
+def test_wfa_alignment_validity():
+    rng = random.Random(5)
+    bases = "ACGT"
+    for _ in range(10):
+        t = "".join(rng.choice(bases) for _ in range(500))
+        q = list(t)
+        for _ in range(10):
+            i = rng.randrange(len(q))
+            q[i] = rng.choice(bases)
+        for _ in range(3):
+            i = rng.randrange(len(q))
+            q.insert(i, rng.choice(bases))
+        q = "".join(q)
+        res = wfa.wfa_align_bases(t, q, 64, 2, 2, 1)
+        assert res is not None
+        ta, qa = res
+        assert ta.replace("-", "") == t
+        assert qa.replace("-", "") == q
+        assert len(ta) == len(qa)
+
+
+def test_wfa_variant_extraction():
+    t = "ACGGAGGTGAGCCTGGGAGCATAGAGG"
+    q = "ACGGAGGTGAACCTGGGAGCATAGAGG"  # single X at pos 10
+    out = wfa.get_variant_segments(t.encode(), q.encode(), 1, 128, 3, 3, 1)
+    assert out == [(10, 10, "X", "G", "A")]
+
+
+def test_consensus_algorithms(test_data_dir):
+    recs = read_fastx_all(os.path.join(test_data_dir, "consensus_test.fa"))
+    seqs = [r.seq for r in recs]
+    c1 = ec.naive_dbg_consensus(seqs, 24, 2)
+    assert abs(len(c1) - len(seqs[0])) < 100
+    c2 = ec.shmmr_dbg_consensus(seqs)
+    assert c2 and max(len(s) for s, _ in c2) > 2000
+    c3, cov3 = ec.guided_shmmr_dbg_consensus(seqs, None, 2)
+    assert len(c3) == len(cov3) and len(c3) > 2000
+    c4 = ec.shmmr_sparse_aln_consensus(seqs, None, 2)
+    assert c4 and len(c4[0][0]) == len(c4[0][1]) and len(c4[0][0]) > 2000
+    # consensus coverage at least min_cov in the supported regions
+    assert min(c4[0][1]) >= 2
+
+
+def test_map_positions_in_seq(amy_db, test_data_dir):
+    queries = read_fastx_all(os.path.join(test_data_dir, "test_seqs2.fa.gz"))
+    q = queries[0].seq
+    positions = [len(q) // 2, len(q) // 3]
+    out = amy_db.map_positions_in_seq(positions, q, 0.25, 32, 32, 32, 8)
+    assert out
+    by_pos = {}
+    for pos, (sid, tpos, ori), (qb, qe), (tb, te) in out:
+        assert qb <= pos <= qe
+        assert tb <= tpos <= te
+        by_pos.setdefault(pos, []).append(sid)
+    assert set(by_pos) <= set(positions)
