@@ -1,0 +1,49 @@
+"""pgr-mdb equivalent: build .mdb/.midx index from PGA archives
+(reference: pgr-bin/src/bin/pgr-mdb.rs — AGC-backed there; our archive
+backend is PGA, see pgrtk_tpu.core.pga).  Index-only build (no fragment
+bases), defaults w=80 k=56 r=4 min_span=64, optional --sketch mode.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..core.pga import PgaFile
+from ..core.seqdb import CompactSeqDB
+from ..core.spec import ShmmrSpec
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="pgr-mdb",
+        description="Create pgr minimizer database with PGA archive backend",
+    )
+    p.add_argument("filepath", help="file listing the PGA archive paths")
+    p.add_argument("prefix")
+    p.add_argument("-w", type=int, default=80)
+    p.add_argument("-k", type=int, default=56)
+    p.add_argument("-r", type=int, default=4)
+    p.add_argument("-m", "--min-span", type=int, default=64)
+    p.add_argument("-s", "--sketch", action="store_true")
+    p.add_argument("--number-of-readers", type=int, default=4)
+    args = p.parse_args(argv)
+
+    spec = ShmmrSpec(
+        w=args.w, k=args.k, r=args.r, min_span=args.min_span, sketch=args.sketch
+    )
+    db = CompactSeqDB(spec)
+    with open(args.filepath) as f:
+        archives = [line.strip() for line in f if line.strip()]
+    for path in archives:
+        pga = PgaFile(path)
+        records = []
+        for sample in pga.list_samples():
+            for ctg, _ln in pga.list_ctgs(sample):
+                records.append((sample, ctg, pga.get_seq(sample, ctg)))
+        db.load_index_only(records)
+    db.write_mdb_midx(args.prefix)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

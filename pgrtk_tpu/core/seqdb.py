@@ -110,6 +110,40 @@ class CompactSeqDB:
 
         self.seqs.append(CompactSeq(source, name, sid, (first_frg, n_frags), len(seq)))
 
+    def load_index_only(
+        self, records: Sequence[Tuple[Optional[str], str, bytes]], base_sid=None
+    ) -> None:
+        """Index-only build: no fragment bases stored; fragment ids are
+        numbered 0..n_pairs-1 PER SEQUENCE, matching the reference's
+        seq_to_index signature numbering (seq_db.rs:360-418) so .mdb
+        output from the archive path is signature-exact."""
+        if base_sid is None:
+            base_sid = len(self.seqs)
+        seqs = [
+            (base_sid + i, src, name, s) for i, (src, name, s) in enumerate(records)
+        ]
+        from .sketch import batch_sequence_to_shmmrs
+
+        all_shmmrs = batch_sequence_to_shmmrs(
+            [(sid, s) for sid, _, _, s in seqs], self.spec
+        )
+        for (sid, source, name, seq), shmmrs in zip(seqs, all_shmmrs):
+            positions = [(m[1] & 0xFFFFFFFF) >> 1 for m in shmmrs]
+            hashes = [m[0] >> 8 for m in shmmrs]
+            n_pairs = max(0, len(shmmrs) - 1)
+            for i in range(n_pairs):
+                s0, s1 = hashes[i], hashes[i + 1]
+                if s0 <= s1:
+                    key, orientation = (s0, s1), 0
+                else:
+                    key, orientation = (s1, s0), 1
+                self.frag_map.setdefault(key, []).append(
+                    (i, sid, positions[i] + 1, positions[i + 1] + 1, orientation)
+                )
+            self.seqs.append(
+                CompactSeq(source, name, sid, (0, n_pairs), len(seq))
+            )
+
     def load_from_fastx(self, filepath: str, store_frags: bool = True) -> None:
         records = [
             (rec.source, rec.id.decode(), rec.seq) for rec in read_fastx(filepath)
