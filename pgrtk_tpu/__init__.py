@@ -20,7 +20,98 @@ from .core.wfa import (  # noqa: F401
     wfa_aln_pair_map,
 )
 from .core.fasta import reverse_complement  # noqa: F401
+from .core.pga import AGCFile, PgaFile  # noqa: F401
 from .core.spec import ShmmrSpec  # noqa: F401
+
+
+def sparse_aln(sp_hits, max_span, penalty, max_gap=None, orientated=False):
+    """Sparse anchor chaining DP (reference: pgr-tk/src/lib.rs:1539-1549)."""
+    from .core import aln_ref
+    from .native import api as native
+
+    if native.available():
+        import numpy as np
+
+        arr = np.asarray([[*a, *b] for a, b in sp_hits], dtype=np.uint32)
+        chains = native.sparse_aln(arr, max_span, penalty, max_gap, orientated)
+        return [
+            (
+                score,
+                [
+                    ((int(r[0]), int(r[1]), int(r[2])),
+                     (int(r[3]), int(r[4]), int(r[5])))
+                    for r in track
+                ],
+            )
+            for score, track in chains
+        ]
+    return aln_ref.sparse_aln(list(sp_hits), max_span, penalty, max_gap, orientated)
+
+
+def get_shmmr_pairs_from_seq(seq, w=80, k=56, r=4, min_span=16, padding=False):
+    """Canonical shimmer pairs of a sequence
+    (reference: pgr-tk/src/lib.rs:1582-1613)."""
+    from .core import query as query_mod
+    from .core import sketch as sketch_mod
+
+    spec = ShmmrSpec(w=w, k=k, r=r, min_span=min_span, sketch=False)
+    mers = sketch_mod.sequence_to_shmmrs(0, bytes(seq), spec, padding)
+    return query_mod.pair_shmmrs_canonical(mers)
+
+
+def get_shmmr_dots(seq0, seq1, w=80, k=56, r=4, min_span=16):
+    """Matched shimmer positions for a dot plot
+    (reference: pgr-tk/src/lib.rs:1650-1692)."""
+    from .core import sketch as sketch_mod
+
+    spec = ShmmrSpec(w=w, k=k, r=r, min_span=min_span, sketch=False)
+    m0 = sketch_mod.sequence_to_shmmrs(0, bytes(seq0), spec, False)
+    m1 = sketch_mod.sequence_to_shmmrs(1, bytes(seq1), spec, False)
+    base = {}
+    for x_, y_ in m0:
+        base.setdefault(x_ >> 8, []).append((y_ & 0xFFFFFFFF) >> 1)
+    xs, ys = [], []
+    for x_, y_ in m1:
+        py = (y_ & 0xFFFFFFFF) >> 1
+        for px in base.get(x_ >> 8, []):
+            xs.append(px)
+            ys.append(py)
+    return xs, ys
+
+
+def get_wfa_aln_pair_map(
+    target_str,
+    query_str,
+    max_wf_length,
+    mismatch_penalty,
+    open_penalty,
+    extension_penalty,
+    max_diff_percent,
+):
+    """WFA + pair map with a length-difference guard
+    (reference: pgr-tk/src/lib.rs:1737-1772)."""
+    from .core import wfa as wfa_mod
+
+    diff = abs(len(query_str) - len(target_str))
+    if max_wf_length is None:
+        max_wf_length = max(2 * diff, 128)
+    if (
+        max_wf_length > 128
+        and max_wf_length / min(len(target_str), len(query_str))
+        > max_diff_percent
+    ):
+        return None
+    res = wfa_mod.wfa_align_bases(
+        target_str,
+        query_str,
+        max_wf_length,
+        mismatch_penalty,
+        open_penalty,
+        extension_penalty,
+    )
+    if res is None:
+        return None
+    return wfa_mod.wfa_aln_pair_map(res[0], res[1])
 
 __version__ = "0.1.0"
 

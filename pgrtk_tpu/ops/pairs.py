@@ -22,21 +22,23 @@ U32 = jnp.uint32
 
 @functools.partial(jax.jit, static_argnames=("capacity", "block", "slots"))
 def compact_mers(
-    x_hi, x_lo, y_lo, selected, capacity: int, block: int = 1024,
-    slots: int = 32
+    x_hi, x_lo, y_lo, selected, capacity: int, block: int = 512,
+    slots: int = 16
 ):
     """Per-sequence compaction of selected mers to fixed capacity.
 
-    Two-level payload sort (sorting values alongside keys — gathers via
-    take_along_axis are pathologically slow on TPU):
-      1. sort each `block`-wide stripe by a u16 in-block position key
-         (invalid -> block), keep the first `slots` entries;
-      2. sort the (B, nb*slots) semi-compacted stream by global position
-         (invalid -> 0xFFFFFFFF), keep the first `capacity`.
+    Two stages, neither of which gathers (take_along_axis is
+    pathologically slow on TPU):
+      1. sort-free rank extraction per `block`-wide stripe: intra-block
+         cumsum ranks each selected element; one masked u32 reduction per
+         output slot pulls it out (exactly one element matches each
+         (block, slot) rank, so a plain sum is exact);
+      2. one payload sort of the (B, nb*slots) semi-compacted stream by
+         global position (invalid -> 0xFFFFFFFF), keep first `capacity`.
 
     A block holding more than `slots` selected mers loses the excess; the
     returned `overflow` scalar flags that (mode-2 density is ~2^-8, so
-    slots=32 per 1024 gives 8x headroom — callers must check overflow and
+    slots=16 per 512 gives 8x headroom — callers must check overflow and
     fall back to an exact path if it fires).
 
     Args: (B, L) planes from sketch_mode2_dense.
@@ -54,19 +56,27 @@ def compact_mers(
         L += pad
     nb = L // block
     selb = selected.reshape(B * nb, block)
-    posb = jax.lax.broadcasted_iota(jnp.int32, (B * nb, block), 1)
-    key = jnp.where(selb, posb, block).astype(jnp.uint16)
     overflow = (selb.sum(axis=1) > slots).any()
-    k2, xh2, xl2, yl2 = jax.lax.sort(
-        (key, x_hi.reshape(B * nb, block), x_lo.reshape(B * nb, block),
-         y_lo.reshape(B * nb, block)),
-        num_keys=1,
-    )
-    k3 = k2[:, :slots].reshape(B, nb * slots)
-    xh3 = xh2[:, :slots].reshape(B, nb * slots)
-    xl3 = xl2[:, :slots].reshape(B, nb * slots)
-    yl3 = yl2[:, :slots].reshape(B, nb * slots)
-    valid3 = k3 != jnp.uint16(block)
+
+    # stage 1, sort-free: intra-block rank of each selected element (its
+    # output slot), then one masked u32 reduction per slot.  Exactly one
+    # element per (block, slot) has rank == slot, so a plain sum extracts
+    # it exactly — no sorting network, no gathers.
+    rank = jnp.cumsum(selb.astype(jnp.int32), axis=1) - 1  # (B*nb, block)
+    rank = jnp.where(selb, rank, -1)
+    xh_b = x_hi.reshape(B * nb, 1, block)
+    xl_b = x_lo.reshape(B * nb, 1, block)
+    yl_b = y_lo.reshape(B * nb, 1, block)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, slots, 1), 1)
+    hit = (rank.reshape(B * nb, 1, block) == slot_ids)  # (B*nb, slots, block)
+    m = hit.astype(jnp.uint32)
+    xh3 = (m * xh_b).sum(axis=2).reshape(B, nb * slots)
+    xl3 = (m * xl_b).sum(axis=2).reshape(B, nb * slots)
+    yl3 = (m * yl_b).sum(axis=2).reshape(B, nb * slots)
+    valid3 = hit.any(axis=2).reshape(B, nb * slots)
+
+    # stage 2: one small payload sort by global position over the
+    # slots-per-block stream
     gpos = jnp.where(valid3, yl3 >> 1, jnp.uint32(0xFFFFFFFF))
     gpos2, xh4, xl4, yl4 = jax.lax.sort((gpos, xh3, xl3, yl3), num_keys=1)
     valid = gpos2[:, :capacity] != jnp.uint32(0xFFFFFFFF)
