@@ -1,0 +1,78 @@
+"""pgr-compare-cov equivalent: compare SHIMMER-pair coverage between two
+sets of fastx files (reference: pgr-bin/src/bin/pgr-compare-cov.rs).
+
+Builds one index per set; for every pair along each contig of set 0
+reports count1/count0 (and symmetrically for set 1), with high/low-ratio
+region grouping like pgr-compare-cov2.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from ..api import SeqIndexDB
+from .pgr_compare_cov2 import _fmt_f32, output_cov_bed
+
+
+def _load_set(filepath, w, k, r, min_span):
+    db = SeqIndexDB()
+    with open(filepath) as f:
+        paths = [line.strip() for line in f if line.strip()]
+    for i, path in enumerate(paths):
+        if i == 0:
+            db.load_from_fastx(path, w, k, r, min_span)
+        else:
+            db.append_from_fastx(path)
+    return db
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="pgr-compare-cov",
+        description="Compare SHIMMER pair count in two input sequence files",
+    )
+    p.add_argument("filepath0")
+    p.add_argument("filepath1")
+    p.add_argument("prefix")
+    p.add_argument("-w", type=int, default=80)
+    p.add_argument("-k", type=int, default=56)
+    p.add_argument("-r", type=int, default=4)
+    p.add_argument("-m", "--min-span", type=int, default=64)
+    p.add_argument("-t", "--threshold", type=float, default=2.0)
+    args = p.parse_args(argv)
+
+    sdb0 = _load_set(args.filepath0, args.w, args.k, args.r, args.min_span)
+    sdb1 = _load_set(args.filepath1, args.w, args.k, args.r, args.min_span)
+    fm0 = sdb0.seq_db.frag_map
+    fm1 = sdb1.seq_db.frag_map
+
+    def run_side(db, fm_self, fm_other, bed_path, bg_path, threshold):
+        with open(bg_path, "w") as bg, open(bed_path, "w") as bed:
+            for sid in sorted(db.seq_info):
+                ctg, _src, length = db.seq_info[sid]
+                seq = db.get_sub_seq_by_id(sid, 0, length)
+                out_data = []
+                for s0, s1, p0, p1, _ori in db.get_smps(seq):
+                    c_self = len(fm_self.get((s0, s1), []))
+                    c_other = len(fm_other.get((s0, s1), []))
+                    r = c_other / c_self if c_self else float("inf")
+                    out_data.append((p0, p1, r, c_self, c_other))
+                output_cov_bed(out_data, ctg, args.prefix, threshold, bed)
+                for v in out_data:
+                    bg.write(
+                        f"{ctg}\t{v[0]}\t{v[1]}\t{_fmt_f32(v[2])}\t{v[3]}\t{v[4]}\n"
+                    )
+
+    run_side(
+        sdb0, fm0, fm1, args.prefix + ".0.bed", args.prefix + ".0.bedgraph",
+        args.threshold,
+    )
+    run_side(
+        sdb1, fm1, fm0, args.prefix + ".1.bed", args.prefix + ".1.bedgraph",
+        1.0 / args.threshold,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
