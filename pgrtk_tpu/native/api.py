@@ -249,6 +249,36 @@ def batch_sequence_to_shmmrs_arrays(
     return res
 
 
+def reduce_and_filter(mers, r: int, min_span: int, padding: bool = False):
+    """Hierarchical reduction x2 + min_span filter on an emitted mer stream
+    (the tail of mode-1 sketching; reference: shmmrutils.rs:359-415,
+    533-555)."""
+    lib = _load()
+    if not getattr(lib, "_raf_configured", False):
+        lib.pgr_reduce_and_filter.restype = ctypes.c_int64
+        lib.pgr_reduce_and_filter.argtypes = [
+            ctypes.POINTER(_MM128),
+            ctypes.c_int64,
+            ctypes.c_uint32,
+            ctypes.c_uint32,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(_MM128)),
+        ]
+        lib._raf_configured = True
+    n = len(mers)
+    arr = (_MM128 * max(n, 1))()
+    for i, (x, y) in enumerate(mers):
+        arr[i].x = x
+        arr[i].y = y
+    out = ctypes.POINTER(_MM128)()
+    m = lib.pgr_reduce_and_filter(
+        arr, n, r, min_span, 1 if padding else 0, ctypes.byref(out)
+    )
+    res = _mm_to_list(out, m)
+    lib.pgr_free(out)
+    return res
+
+
 def match_reads(
     seq0: bytes,
     seq1: bytes,

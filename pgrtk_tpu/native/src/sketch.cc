@@ -264,3 +264,22 @@ void pgr_free(void *p) { std::free(p); }
 const char *pgr_version(void) { return "pgrtk-tpu-native 0.1.0"; }
 
 }  // extern "C"
+
+extern "C" {
+
+// Hierarchical reduction + min_span filter on an already-emitted mer
+// stream (used by the device mode-1 sketch path: the device computes the
+// raw windowed-minimizer stream; this finishes reduce_shmmr x2 + the
+// spacing filter exactly as sketch_one does).
+int64_t pgr_reduce_and_filter(const pgr_mm128 *mers, int64_t n, uint32_t r,
+                              uint32_t min_span, int padding,
+                              pgr_mm128 **out) {
+  std::vector<MM128> v(n);
+  std::memcpy(v.data(), mers, sizeof(MM128) * (size_t)n);
+  if (r > 1) v = reduce_shmmr(reduce_shmmr(v, r, padding != 0), r, padding != 0);
+  v = min_span_filter(v, min_span);
+  *out = to_c(v);
+  return (int64_t)v.size();
+}
+
+}  // extern "C"

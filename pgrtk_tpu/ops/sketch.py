@@ -144,8 +144,8 @@ def _combine_transform(a, b, k: int):
 def _hash_cols(state, k: int, r: int):
     """Per-position outputs from the current registers: x (hi,lo) and a
     packed meta plane (bit0 = strand, bit1 = non-palindromic AND full hash
-    under the mode-2 threshold).  The full 64-bit hash is consumed inside
-    the scan body — it never touches HBM."""
+    under the mode-2 threshold, bit2 = palindromic k-mer).  The full
+    64-bit hash is consumed inside the scan body — it never touches HBM."""
     f0, f1, r0, r1 = state["f0"], state["f1"], state["r0"], state["r1"]
     palindrome = u64.eq(f0, r0) & u64.eq(f1, r1)
     reverse = u64.lt(r0, f0)
@@ -158,7 +158,11 @@ def _hash_cols(state, k: int, r: int):
     x = u64.or_(u64.shl_const(h, 8), u64.from_int(k, like=h[0]))
     threshold = u64.from_int(((1 << 64) - 1) >> 4 >> r, like=h[0])
     ok = ~palindrome & u64.lt(h, threshold)
-    meta = reverse.astype(U32) | (ok.astype(U32) << 1)
+    meta = (
+        reverse.astype(U32)
+        | (ok.astype(U32) << 1)
+        | (palindrome.astype(U32) << 2)
+    )
     return x, meta
 
 

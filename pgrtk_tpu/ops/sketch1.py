@@ -1,0 +1,298 @@
+"""Mode-1 (windowed minimizer) SHIMMER sketching on device.
+
+The reference's mode-1 sketcher is a sequential streaming automaton
+(shmmrutils.rs:417-530): a ring of the last w mers, a running minimum, and
+two emission paths — B: a new mer <= the running minimum (interior
+positions only), A: the running minimum expires (re-scan the window, emit
+all ties, rightmost tie becomes the minimum).
+
+Parallel re-derivation (validated bit-exact against the sequential
+arbiter; see tests): the automaton's minimum always equals the trailing
+w-window minimum with rightmost-tie selection, EXCEPT in the suppressed
+boundary region.  Therefore:
+
+  W[t], P[t] : trailing w-window min + rightmost argmin   (van Herk scans)
+  W2[t]      : trailing (w-1)-window min
+  A-event(q) : q == k+w-1 (warm-up expiry) or P[q-1] == q-w (min expiry)
+  A-emitted(j): exists q in [j, j+w-1] with A(q) and W[q] == x_j
+               <=> leading-w-window max of (A ? W : 0) at j >= x_j
+  B-emitted(p): x_p <= W2[p-1], w+k <= p < len-w+k, and no A at p
+
+The invariant only breaks once a would-be-B is suppressed by the interior
+upper bound (p >= len-w+k), so positions after t0 = len-w+k-1 are finished
+by a tiny (w-k)-step sequential tail on host.  All windowed scans run as
+block prefix/suffix cumulative mins (two-level, compile-friendly); 64-bit
+mer keys are (hi, lo) u32 planes with the position folded in for
+rightmost-tie argmin.
+
+reduce_shmmr x2 + the min_span filter operate on the emitted stream
+(~2/w density) and run in the native library (pgr_reduce_and_filter).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.spec import ShmmrSpec
+from . import sketch as sketch_ops
+
+U32 = jnp.uint32
+FF = jnp.uint32(0xFFFFFFFF)
+
+
+def _lex_min(a, b):
+    """Minimum of two (x_hi, x_lo, negpos) triples; ties -> the one with
+    smaller negpos (i.e. larger position: rightmost tie)."""
+    ah, al, ap = a
+    bh, bl, bp = b
+    a_less = (
+        (ah < bh)
+        | ((ah == bh) & (al < bl))
+        | ((ah == bh) & (al == bl) & (ap <= bp))
+    )
+    return (
+        jnp.where(a_less, ah, bh),
+        jnp.where(a_less, al, bl),
+        jnp.where(a_less, ap, bp),
+    )
+
+
+def _cummin_blocks(trip, block: int, reverse: bool):
+    """Cumulative lex-min along axis 2 of (B, nb, block) triples."""
+    return jax.lax.associative_scan(_lex_min, trip, axis=2, reverse=reverse)
+
+
+def _trailing_window_min(xh, xl, valid, win: int):
+    """Trailing-window lex-min of each (B, L) position over [t-win+1, t].
+    Returns (W_hi, W_lo, P_pos) with P = rightmost-tie argmin position
+    (0xFFFFFFFF where the window is empty)."""
+    B, L = xh.shape
+    pad = (-L) % win
+    Lp = L + pad
+
+    def prep(v, fill):
+        return jnp.pad(v, [(0, 0), (0, pad)], constant_values=fill)
+
+    h = jnp.where(valid, xh, FF)
+    lo = jnp.where(valid, xl, FF)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(U32)
+    npos = jnp.where(valid, FF - pos, FF)
+    h, lo, npos = prep(h, FF), prep(lo, FF), prep(npos, FF)
+    nb = Lp // win
+    trip = tuple(v.reshape(B, nb, win) for v in (h, lo, npos))
+    pfx = _cummin_blocks(trip, win, reverse=False)
+    sfx = _cummin_blocks(trip, win, reverse=True)
+    pfx = tuple(v.reshape(B, Lp) for v in pfx)
+    sfx = tuple(v.reshape(B, Lp) for v in sfx)
+
+    # window [t-win+1, t] = suffix-from(t-win+1 in its block) ∧ prefix-to(t)
+    def shift(v):
+        r = jnp.roll(v, win - 1, axis=1)
+        return r.at[:, : win - 1].set(FF)
+
+    sfx_sh = tuple(shift(v) for v in sfx)
+    W = _lex_min(sfx_sh, pfx)
+    Wh, Wl, Wnp = (v[:, :L] for v in W)
+    P = jnp.where(Wnp == FF, FF, FF - Wnp)
+    return Wh, Wl, P
+
+
+def _leading_window_max(mh, ml, win: int):
+    """Leading-window lex-max over [t, t+win-1] of (hi, lo) u32 pairs
+    (zeros act as -inf)."""
+    B, L = mh.shape
+    pad = (-L) % win
+    Lp = L + pad
+    h = jnp.pad(mh, [(0, 0), (0, pad)])
+    lo = jnp.pad(ml, [(0, 0), (0, pad)])
+    nb = Lp // win
+
+    def lex_max(a, b):
+        ah, al = a
+        bh, bl = b
+        a_ge = (ah > bh) | ((ah == bh) & (al >= bl))
+        return jnp.where(a_ge, ah, bh), jnp.where(a_ge, al, bl)
+
+    pair = (h.reshape(B, nb, win), lo.reshape(B, nb, win))
+    pfx = jax.lax.associative_scan(lex_max, pair, axis=2, reverse=True)
+    sfx = jax.lax.associative_scan(lex_max, pair, axis=2, reverse=False)
+    pfx = tuple(v.reshape(B, Lp) for v in pfx)
+    sfx = tuple(v.reshape(B, Lp) for v in sfx)
+
+    # window [t, t+win-1] = suffix-of-block-from-t ∧ prefix up to t+win-1
+    def shift(v):
+        r = jnp.roll(v, -(win - 1), axis=1)
+        return r.at[:, Lp - (win - 1):].set(0)
+
+    sfx_sh = tuple(shift(v) for v in sfx)
+    M = lex_max(pfx, sfx_sh)
+    return M[0][:, :L], M[1][:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "k", "chunk"))
+def sketch_mode1_dense(
+    seqs_u8: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    w: int,
+    chunk: int = 512,
+):
+    """Raw mode-1 minimizer emission mask for a padded batch.
+
+    Returns dict of (B, L) planes: x_hi, x_lo, meta(bit0=strand),
+    emitted (bool, exact for positions <= t0 = len-w+k-1), plus
+    palindrome_seen (bool scalar: caller must fall back — the emission
+    stream is no longer positionally dense).
+    """
+    B, L = seqs_u8.shape
+    code = sketch_ops.encode_bases(seqs_u8)
+    # reuse the mode-2 register walk; r value irrelevant for x/meta planes
+    x, meta = sketch_ops._register_walk(code, k, 4, chunk)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    in_seq = pos < lengths[:, None]
+    have = in_seq & (pos >= k)
+    # meta bit1 includes the non-palindrome flag AND the mode-2 threshold;
+    # recompute palindromes independently: a palindromic k-mer hashes both
+    # strands equal — detect via register equality is internal, so instead
+    # flag positions where the emitted strand bit is ambiguous.  The walk
+    # emits meta bit1 = ~palindrome & threshold; palindromes are
+    # astronomically rare (4^-28/pos) — detect via x collision with rc:
+    # we conservatively re-derive: palindrome <=> the mode-2 'ok' bit is 0
+    # AND the hash threshold alone would pass.  Cheaper: treat bit1==0 with
+    # tiny hash as potential palindrome is unsound; instead the walk's
+    # palindrome flag is folded into bit1 only.  For mode 1 we need it
+    # separately, so _register_walk_meta2 exposes it via bit2 (below).
+    palindrome = (meta & 4) != 0
+    have = have & ~palindrome
+    palindrome_seen = (palindrome & in_seq & (pos >= k)).any()
+
+    Wh, Wl, P = _trailing_window_min(x[0], x[1], have, w)
+    W2h, W2l, _ = _trailing_window_min(x[0], x[1], have, w - 1)
+
+    posu = pos.astype(U32)
+    t0 = jnp.minimum(lengths - w + k - 1, lengths - 1)[:, None]
+
+    # A events
+    first_a = posu == jnp.uint32(k + w - 1)
+    P_prev = jnp.roll(P, 1, axis=1).at[:, 0].set(FF)
+    a_expire = (
+        (P_prev == (posu - jnp.uint32(w)))
+        & (pos >= k + w)
+        & (pos <= t0)
+    )
+    A = (first_a & (pos <= jnp.maximum(t0, k + w - 1))) | a_expire
+    # the warm-up A requires the stream to actually reach w mers; with a
+    # dense stream that's pos == k+w-1 < len
+    A = A & in_seq
+
+    # A-emitted: leading-window max of (A ? W : 0) >= x
+    mh = jnp.where(A, Wh, 0)
+    ml = jnp.where(A, Wl, 0)
+    Mh, Ml = _leading_window_max(mh, ml, w)
+    m_nonzero = (Mh | Ml) != 0
+    a_emit = (
+        have
+        & m_nonzero
+        & ((Mh > x[0]) | ((Mh == x[0]) & (Ml >= x[1])))
+    )
+
+    # B-emitted
+    W2h_prev = jnp.roll(W2h, 1, axis=1).at[:, 0].set(FF)
+    W2l_prev = jnp.roll(W2l, 1, axis=1).at[:, 0].set(FF)
+    b_le = (x[0] < W2h_prev) | ((x[0] == W2h_prev) & (x[1] <= W2l_prev))
+    b_emit = (
+        have
+        & b_le
+        & (pos >= w + k)
+        & (pos <= t0)
+        & ~A
+    )
+
+    emitted = (a_emit | b_emit) & (pos <= t0)
+    return dict(
+        x_hi=x[0],
+        x_lo=x[1],
+        meta=meta,
+        emitted=emitted,
+        palindrome_seen=palindrome_seen,
+    )
+
+
+def sketch_mode1(
+    seqs: Sequence[bytes], rids=None, spec: ShmmrSpec = None, chunk: int = 512
+) -> List[List[Tuple[int, int]]]:
+    """Host API: exact mode-1 sketch via the device emission kernel + the
+    host tail + native reduce/filter.  Falls back to the native scalar
+    sketcher per-sequence when a palindromic k-mer is seen."""
+    from ..native import api as native
+
+    spec = spec or ShmmrSpec(sketch=False)
+    assert not spec.sketch
+    if rids is None:
+        rids = list(range(len(seqs)))
+    w, k = spec.w, spec.k
+    arr, lens = sketch_ops.pad_batch(seqs, multiple=chunk)
+    out = sketch_mode1_dense(
+        jnp.asarray(arr), jnp.asarray(lens), k, w, chunk
+    )
+    if bool(out["palindrome_seen"]):
+        return native.batch_sequence_to_shmmrs(
+            [(rid, s) for rid, s in zip(rids, seqs)], spec
+        )
+    x = (np.asarray(out["x_hi"], np.uint64) << np.uint64(32)) | np.asarray(
+        out["x_lo"], np.uint64
+    )
+    strand = (np.asarray(out["meta"]) & 1).astype(np.uint64)
+    emitted = np.asarray(out["emitted"])
+
+    results = []
+    for i, seq in enumerate(seqs):
+        L = len(seq)
+        rid = int(rids[i])
+        xs = x[i]
+        ys = (
+            (np.uint64(rid) << np.uint64(32))
+            | (np.arange(x.shape[1], dtype=np.uint64) << np.uint64(1))
+            | strand[i]
+        )
+        t0 = min(L - w + k - 1, L - 1)
+        if t0 < k + w - 1:
+            # too short for the parallel path: scalar sketch
+            results.append(native.sequence_to_shmmrs(rid, seq, spec))
+            continue
+        idx = np.flatnonzero(emitted[i])
+        stream = [(int(xs[j]), int(ys[j])) for j in idx]
+        # sequential tail from the invariant state at t0
+        win = xs[max(0, t0 - w + 1) : t0 + 1]
+        mn = win.min()
+        ties = np.flatnonzero(win == mn)
+        min_pos = int(ties[-1]) + max(0, t0 - w + 1)
+        min_x = int(mn)
+        mdist = t0 - min_pos
+        for p in range(t0 + 1, L):
+            xp = int(xs[p])
+            if mdist == w - 1:
+                lo = p - w + 1
+                sub = xs[lo : p + 1]
+                mn2 = int(sub.min())
+                for j in np.flatnonzero(sub == mn2):
+                    jj = lo + int(j)
+                    stream.append((int(xs[jj]), int(ys[jj])))
+                    min_pos = jj
+                min_x = mn2
+                mdist = p - min_pos
+            elif xp <= min_x and w + k <= p < L - w + k:
+                stream.append((xp, int(ys[p])))
+                min_pos = p
+                min_x = xp
+                mdist = 0
+            else:
+                mdist += 1
+        results.append(
+            native.reduce_and_filter(stream, spec.r, spec.min_span, False)
+        )
+    return results
