@@ -47,7 +47,9 @@ def test_reduce_and_filter_native_matches_reference():
     pos = 60
     for _ in range(300):
         pos += rng.randrange(1, 120)
-        mers.append((rng.randrange(1 << 62) << 8 | 56, pos << 1 | rng.randrange(2)))
+        mers.append(
+            (rng.randrange(1 << 56) << 8 | 56, pos << 1 | rng.randrange(2))
+        )
     for r, ms, padding in ((4, 64, False), (2, 10, True), (1, 0, False)):
         ref = sketch_ref._min_span_filter(
             sketch_ref.reduce_shmmr(
