@@ -12,11 +12,12 @@ w-window minimum with rightmost-tie selection, EXCEPT in the suppressed
 boundary region.  Therefore:
 
   W[t], P[t] : trailing w-window min + rightmost argmin   (van Herk scans)
-  W2[t]      : trailing (w-1)-window min
+  (B-emission needs no second scan: x_p <= min of the previous w-1
+   elements <=> the rightmost-tie argmin of the w-window at p is p itself)
   A-event(q) : q == k+w-1 (warm-up expiry) or P[q-1] == q-w (min expiry)
   A-emitted(j): exists q in [j, j+w-1] with A(q) and W[q] == x_j
                <=> leading-w-window max of (A ? W : 0) at j >= x_j
-  B-emitted(p): x_p <= W2[p-1], w+k <= p < len-w+k, and no A at p
+  B-emitted(p): P[p] == p, w+k <= p < len-w+k, and no A at p
 
 The invariant only breaks once a would-be-B is suppressed by the interior
 upper bound (p >= len-w+k), so positions after t0 = len-w+k-1 are finished
@@ -61,9 +62,39 @@ def _lex_min(a, b):
     )
 
 
-def _cummin_blocks(trip, block: int, reverse: bool):
-    """Cumulative lex-min along axis 2 of (B, nb, block) triples."""
-    return jax.lax.associative_scan(_lex_min, trip, axis=2, reverse=reverse)
+def _block_scans(channels, win: int, combine, fill):
+    """Per-block prefix and suffix cumulative `combine` along the length
+    axis of (B, L) planes, blocks of size `win`.
+
+    Evaluated as transposed lax.scans (one column of every block per step)
+    — the same "transpose for throughput" layout as the register walk; a
+    length-80 minor axis with associative_scan is compile- and
+    tile-hostile on TPU.
+
+    Returns (prefix, suffix) tuples of (B, Lp) planes + Lp.
+    """
+    B, L = channels[0].shape
+    pad = (-L) % win
+    Lp = L + pad
+    nb = Lp // win
+    cols = tuple(
+        jnp.pad(v, [(0, 0), (0, pad)], constant_values=f)
+        .reshape(B * nb, win)
+        .T
+        for v, f in zip(channels, fill)
+    )
+
+    def run(reverse):
+        def step(carry, col):
+            new = combine(carry, col) if not reverse else combine(col, carry)
+            return new, new
+
+        init = tuple(jnp.full((B * nb,), f, dtype=c.dtype)
+                     for f, c in zip(fill, cols))
+        _, out = jax.lax.scan(step, init, cols, reverse=reverse)
+        return tuple(v.T.reshape(B, Lp) for v in out)
+
+    return run(False), run(True), Lp
 
 
 def _trailing_window_min(xh, xl, valid, win: int):
@@ -71,23 +102,14 @@ def _trailing_window_min(xh, xl, valid, win: int):
     Returns (W_hi, W_lo, P_pos) with P = rightmost-tie argmin position
     (0xFFFFFFFF where the window is empty)."""
     B, L = xh.shape
-    pad = (-L) % win
-    Lp = L + pad
-
-    def prep(v, fill):
-        return jnp.pad(v, [(0, 0), (0, pad)], constant_values=fill)
-
     h = jnp.where(valid, xh, FF)
     lo = jnp.where(valid, xl, FF)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(U32)
     npos = jnp.where(valid, FF - pos, FF)
-    h, lo, npos = prep(h, FF), prep(lo, FF), prep(npos, FF)
-    nb = Lp // win
-    trip = tuple(v.reshape(B, nb, win) for v in (h, lo, npos))
-    pfx = _cummin_blocks(trip, win, reverse=False)
-    sfx = _cummin_blocks(trip, win, reverse=True)
-    pfx = tuple(v.reshape(B, Lp) for v in pfx)
-    sfx = tuple(v.reshape(B, Lp) for v in sfx)
+
+    pfx, sfx, Lp = _block_scans(
+        (h, lo, npos), win, _lex_min, (FF, FF, FF)
+    )
 
     # window [t-win+1, t] = suffix-from(t-win+1 in its block) ∧ prefix-to(t)
     def shift(v):
@@ -101,35 +123,30 @@ def _trailing_window_min(xh, xl, valid, win: int):
     return Wh, Wl, P
 
 
+def _lex_max2(a, b):
+    ah, al = a
+    bh, bl = b
+    a_ge = (ah > bh) | ((ah == bh) & (al >= bl))
+    return jnp.where(a_ge, ah, bh), jnp.where(a_ge, al, bl)
+
+
 def _leading_window_max(mh, ml, win: int):
     """Leading-window lex-max over [t, t+win-1] of (hi, lo) u32 pairs
     (zeros act as -inf)."""
     B, L = mh.shape
-    pad = (-L) % win
-    Lp = L + pad
-    h = jnp.pad(mh, [(0, 0), (0, pad)])
-    lo = jnp.pad(ml, [(0, 0), (0, pad)])
-    nb = Lp // win
-
-    def lex_max(a, b):
-        ah, al = a
-        bh, bl = b
-        a_ge = (ah > bh) | ((ah == bh) & (al >= bl))
-        return jnp.where(a_ge, ah, bh), jnp.where(a_ge, al, bl)
-
-    pair = (h.reshape(B, nb, win), lo.reshape(B, nb, win))
-    pfx = jax.lax.associative_scan(lex_max, pair, axis=2, reverse=True)
-    sfx = jax.lax.associative_scan(lex_max, pair, axis=2, reverse=False)
-    pfx = tuple(v.reshape(B, Lp) for v in pfx)
-    sfx = tuple(v.reshape(B, Lp) for v in sfx)
-
-    # window [t, t+win-1] = suffix-of-block-from-t ∧ prefix up to t+win-1
+    pfx, sfx, Lp = _block_scans(
+        (mh, ml), win, _lex_max2, (jnp.uint32(0), jnp.uint32(0))
+    )
+    # leading window: suffix here means cumulative from the right =
+    # max over [t .. block_end]; prefix = max over [block_start .. t]
+    # window [t, t+win-1] = (max over [t..end of t's block]) ∧
+    #                       (max over [start..t+win-1] of next block)
     def shift(v):
         r = jnp.roll(v, -(win - 1), axis=1)
         return r.at[:, Lp - (win - 1):].set(0)
 
-    sfx_sh = tuple(shift(v) for v in sfx)
-    M = lex_max(pfx, sfx_sh)
+    pfx_sh = tuple(shift(v) for v in pfx)
+    M = _lex_max2(sfx, pfx_sh)
     return M[0][:, :L], M[1][:, :L]
 
 
@@ -155,23 +172,13 @@ def sketch_mode1_dense(
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_seq = pos < lengths[:, None]
     have = in_seq & (pos >= k)
-    # meta bit1 includes the non-palindrome flag AND the mode-2 threshold;
-    # recompute palindromes independently: a palindromic k-mer hashes both
-    # strands equal — detect via register equality is internal, so instead
-    # flag positions where the emitted strand bit is ambiguous.  The walk
-    # emits meta bit1 = ~palindrome & threshold; palindromes are
-    # astronomically rare (4^-28/pos) — detect via x collision with rc:
-    # we conservatively re-derive: palindrome <=> the mode-2 'ok' bit is 0
-    # AND the hash threshold alone would pass.  Cheaper: treat bit1==0 with
-    # tiny hash as potential palindrome is unsound; instead the walk's
-    # palindrome flag is folded into bit1 only.  For mode 1 we need it
-    # separately, so _register_walk_meta2 exposes it via bit2 (below).
+    # palindromic k-mers (strand-ambiguous, skipped by the reference) make
+    # the emission stream non-dense; meta bit2 carries the flag
     palindrome = (meta & 4) != 0
     have = have & ~palindrome
     palindrome_seen = (palindrome & in_seq & (pos >= k)).any()
 
     Wh, Wl, P = _trailing_window_min(x[0], x[1], have, w)
-    W2h, W2l, _ = _trailing_window_min(x[0], x[1], have, w - 1)
 
     posu = pos.astype(U32)
     t0 = jnp.minimum(lengths - w + k - 1, lengths - 1)[:, None]
@@ -200,13 +207,10 @@ def sketch_mode1_dense(
         & ((Mh > x[0]) | ((Mh == x[0]) & (Ml >= x[1])))
     )
 
-    # B-emitted
-    W2h_prev = jnp.roll(W2h, 1, axis=1).at[:, 0].set(FF)
-    W2l_prev = jnp.roll(W2l, 1, axis=1).at[:, 0].set(FF)
-    b_le = (x[0] < W2h_prev) | ((x[0] == W2h_prev) & (x[1] <= W2l_prev))
+    # B-emitted: rightmost-tie argmin of the trailing w-window is p itself
     b_emit = (
         have
-        & b_le
+        & (P == posu)
         & (pos >= w + k)
         & (pos <= t0)
         & ~A
