@@ -21,10 +21,11 @@ boundary region.  Therefore:
 
 The invariant only breaks once a would-be-B is suppressed by the interior
 upper bound (p >= len-w+k), so positions after t0 = len-w+k-1 are finished
-by a tiny (w-k)-step sequential tail on host.  All windowed scans run as
-block prefix/suffix cumulative mins (two-level, compile-friendly); 64-bit
-mer keys are (hi, lo) u32 planes with the position folded in for
-rightmost-tie argmin.
+by a tiny (w-k)-step sequential tail on host.  Windowed min/max run as
+binary-lifting sparse tables: log2(w) elementwise shift+combine levels in
+the native (B, L) layout (transposes and per-step scans are
+layout-hostile here); 64-bit mer keys are (hi, lo) u32 planes with the
+position folded in for rightmost-tie argmin.
 
 reduce_shmmr x2 + the min_span filter operate on the emitted stream
 (~2/w density) and run in the native library (pgr_reduce_and_filter).
@@ -62,39 +63,37 @@ def _lex_min(a, b):
     )
 
 
-def _block_scans(channels, win: int, combine, fill):
-    """Per-block prefix and suffix cumulative `combine` along the length
-    axis of (B, L) planes, blocks of size `win`.
+def _shift_right(v, n, fill):
+    """v[:, t] <- v[:, t-n] with fill on the left (shift toward higher t)."""
+    if n == 0:
+        return v
+    return jnp.pad(v, [(0, 0), (n, 0)], constant_values=fill)[:, : v.shape[1]]
 
-    Evaluated as transposed lax.scans (one column of every block per step)
-    — the same "transpose for throughput" layout as the register walk; a
-    length-80 minor axis with associative_scan is compile- and
-    tile-hostile on TPU.
 
-    Returns (prefix, suffix) tuples of (B, Lp) planes + Lp.
-    """
-    B, L = channels[0].shape
-    pad = (-L) % win
-    Lp = L + pad
-    nb = Lp // win
-    cols = tuple(
-        jnp.pad(v, [(0, 0), (0, pad)], constant_values=f)
-        .reshape(B * nb, win)
-        .T
-        for v, f in zip(channels, fill)
-    )
+def _shift_left(v, n, fill):
+    if n == 0:
+        return v
+    return jnp.pad(v, [(0, 0), (0, n)], constant_values=fill)[:, n:]
 
-    def run(reverse):
-        def step(carry, col):
-            new = combine(carry, col) if not reverse else combine(col, carry)
-            return new, new
 
-        init = tuple(jnp.full((B * nb,), f, dtype=c.dtype)
-                     for f, c in zip(fill, cols))
-        _, out = jax.lax.scan(step, init, cols, reverse=reverse)
-        return tuple(v.T.reshape(B, Lp) for v in out)
-
-    return run(False), run(True), Lp
+def _sparse_table(channels, win, combine, fills, leading=True):
+    """Binary-lifting sparse table: returns the `combine` over the
+    leading window [p, p+win-1] for every position, as pure elementwise
+    shift+combine levels in the native (B, L) layout (no transposes, no
+    scans — layout-friendly on TPU)."""
+    cur = channels
+    j = 1
+    while 2 * j <= win:
+        shifted = tuple(
+            _shift_left(v, j, f) for v, f in zip(cur, fills)
+        )
+        cur = combine(cur, shifted)
+        j *= 2
+    # cur = window of size j starting at p; cover [p, p+win-1] with two
+    # overlapping windows of size j
+    rest = win - j
+    shifted = tuple(_shift_left(v, rest, f) for v, f in zip(cur, fills))
+    return combine(cur, shifted)
 
 
 def _trailing_window_min(xh, xl, valid, win: int):
@@ -106,19 +105,9 @@ def _trailing_window_min(xh, xl, valid, win: int):
     lo = jnp.where(valid, xl, FF)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(U32)
     npos = jnp.where(valid, FF - pos, FF)
-
-    pfx, sfx, Lp = _block_scans(
-        (h, lo, npos), win, _lex_min, (FF, FF, FF)
-    )
-
-    # window [t-win+1, t] = suffix-from(t-win+1 in its block) ∧ prefix-to(t)
-    def shift(v):
-        r = jnp.roll(v, win - 1, axis=1)
-        return r.at[:, : win - 1].set(FF)
-
-    sfx_sh = tuple(shift(v) for v in sfx)
-    W = _lex_min(sfx_sh, pfx)
-    Wh, Wl, Wnp = (v[:, :L] for v in W)
+    lead = _sparse_table((h, lo, npos), win, _lex_min, (FF, FF, FF))
+    W = tuple(_shift_right(v, win - 1, FF) for v in lead)
+    Wh, Wl, Wnp = W
     P = jnp.where(Wnp == FF, FF, FF - Wnp)
     return Wh, Wl, P
 
@@ -133,21 +122,8 @@ def _lex_max2(a, b):
 def _leading_window_max(mh, ml, win: int):
     """Leading-window lex-max over [t, t+win-1] of (hi, lo) u32 pairs
     (zeros act as -inf)."""
-    B, L = mh.shape
-    pfx, sfx, Lp = _block_scans(
-        (mh, ml), win, _lex_max2, (jnp.uint32(0), jnp.uint32(0))
-    )
-    # leading window: suffix here means cumulative from the right =
-    # max over [t .. block_end]; prefix = max over [block_start .. t]
-    # window [t, t+win-1] = (max over [t..end of t's block]) ∧
-    #                       (max over [start..t+win-1] of next block)
-    def shift(v):
-        r = jnp.roll(v, -(win - 1), axis=1)
-        return r.at[:, Lp - (win - 1):].set(0)
-
-    pfx_sh = tuple(shift(v) for v in pfx)
-    M = _lex_max2(sfx, pfx_sh)
-    return M[0][:, :L], M[1][:, :L]
+    Z = jnp.uint32(0)
+    return _sparse_table((mh, ml), win, _lex_max2, (Z, Z))
 
 
 @functools.partial(jax.jit, static_argnames=("w", "k", "chunk"))
