@@ -79,3 +79,51 @@ def _read_fastq(f, source) -> Iterator[SeqRec]:
 
 def read_fastx_all(path: str, keep_source: bool = True):
     return list(read_fastx(path, keep_source))
+
+
+# ---------------------------------------------------------------------------
+# legacy 4-bit bi-directional .seqdb builder (reference: fasta_io.rs:286-412)
+# ---------------------------------------------------------------------------
+_FOURBIT_F = [0] * 256
+_FOURBIT_R = [0] * 256
+for _b, _f, _r in ((65, 1, 8), (67, 2, 4), (71, 4, 2), (84, 8, 1)):  # ACGT
+    _FOURBIT_F[_b] = _f
+    _FOURBIT_F[_b + 32] = _f
+    _FOURBIT_R[_b] = _r
+    _FOURBIT_R[_b + 32] = _r
+
+
+def encode_biseq(seq: bytes) -> bytes:
+    """4-bit bi-directional encoding: high nibble = reverse-complement
+    strand read backwards, low nibble = forward
+    (reference: fasta_io.rs:286-317)."""
+    n = len(seq)
+    out = bytearray(n)
+    for p in range(n):
+        out[p] = (_FOURBIT_R[seq[n - 1 - p]] << 4) | _FOURBIT_F[seq[p]]
+    return bytes(out)
+
+
+def build_seqdb(seq_list_file: str, out_prefix: str, min_len: int = 500) -> int:
+    """Legacy .seqdb/.idx builder (reference: fasta_io.rs:319-412): 4-bit
+    encode every read >= min_len from the listed fastx files."""
+    start = 0
+    seq_id = 0
+    with open(out_prefix + ".seqdb", "wb") as dbf, open(
+        out_prefix + ".idx", "w"
+    ) as idxf, open(seq_list_file) as lst:
+        for line in lst:
+            path = line.strip()
+            if not path:
+                continue
+            for rec in read_fastx(path):
+                if len(rec.seq) < min_len:
+                    continue
+                biseq = encode_biseq(rec.seq)
+                dbf.write(biseq)
+                idxf.write(
+                    f"{seq_id:09} {rec.id.decode()} {len(biseq)} {start}\n"
+                )
+                start += len(biseq)
+                seq_id += 1
+    return start
