@@ -108,3 +108,14 @@ def test_entry_jits():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert "selected" in out
+
+
+def test_scaling_harness_runs():
+    from pgrtk_tpu.parallel import distributed
+
+    res = distributed.measure_index_scaling(
+        [1, 2], per_device_batch=1, seq_len=1 << 14, iters=1
+    )
+    assert len(res) == 2
+    assert all(rate > 0 for _n, _t, _dt, rate in res)
+    assert 0 < distributed.scaling_efficiency(res)
