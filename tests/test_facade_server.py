@@ -1,0 +1,102 @@
+"""Facade method coverage + server pipeline tests."""
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+import pgrtk_tpu
+from pgrtk_tpu.core.fasta import read_fastx_all
+
+
+@pytest.fixture(scope="module")
+def db(test_data_dir):
+    d = pgrtk_tpu.SeqIndexDB()
+    d.load_from_fastx(os.path.join(test_data_dir, "test_seqs.fa"))
+    return d
+
+
+def test_shmmr_pair_views(db):
+    spec = db.get_shmmr_spec()
+    assert spec == (80, 56, 4, 64, False)
+    counts = db.get_shmmr_pair_count()
+    assert counts and all(v > 0 for v in counts.values())
+    lst = db.get_shmmr_pair_list()
+    assert len(lst) == sum(counts.values())
+    src_counts = db.get_shmmr_pair_source_count()
+    assert set(src_counts) == set(counts)
+
+
+def test_bundle_projection_external_sequence(db, test_data_dir):
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs2.fa.gz"))
+    pbid, sid_smps = db.get_principal_bundle_projection(
+        2, 8, [(0, recs[0].seq), (1, recs[1].seq)]
+    )
+    assert pbid
+    smap = dict(sid_smps)
+    assert set(smap) == {0, 1}
+    # external sequences should project mostly onto the main bundle
+    hits = sum(1 for _smp, b in smap[0] if b is not None)
+    assert hits > len(smap[0]) // 2
+
+
+def test_facade_consensus(db, test_data_dir):
+    recs = read_fastx_all(os.path.join(test_data_dir, "consensus_test.fa"))
+    mem = pgrtk_tpu.SeqIndexDB()
+    mem.load_from_seq_list(
+        [(str(i), r.seq) for i, r in enumerate(recs)],
+        "memory", 33, 33, 1, 0,
+    )
+    out = mem.shmmr_sparse_aln_consensus([0], 2)
+    assert out and out[0][0] == 0 and len(out[0][1][0][0]) > 1000
+
+
+def test_write_midx_text(db, tmp_path):
+    path = str(tmp_path / "t.midx")
+    db.write_midx_to_text_file(path)
+    lines = open(path).read().splitlines()
+    assert len(lines) == len(db.seq_info)
+
+
+def test_shmmr_dots_and_pairs(test_data_dir):
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs.fa"))[:2]
+    x, y = pgrtk_tpu.get_shmmr_dots(recs[0].seq, recs[1].seq)
+    assert len(x) == len(y) and len(x) > 0
+    pairs = pgrtk_tpu.get_shmmr_pairs_from_seq(recs[0].seq)
+    assert pairs and all(p[0] <= p[1] for p in pairs)
+
+
+def test_server_roundtrip(test_data_dir):
+    import http.server
+
+    from pgrtk_tpu.server import main as sm
+    from pgrtk_tpu.server.bundle_processing import SequenceQuerySpec
+
+    d = pgrtk_tpu.SeqIndexDB()
+    d.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    sm.Handler.seq_db = d
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), sm.Handler)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        r = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/get_number_of_ctgs"
+        )
+        assert json.loads(r.read()) == 66
+        name, src, _l = d.seq_info[0]
+        spec = SequenceQuerySpec(
+            source=src, ctg=name, bgn=100, end=3000, padding=100,
+            merge_range_tol=1000,
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/post_query_for_json_data",
+            data=json.dumps(spec.__dict__).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        res = json.loads(urllib.request.urlopen(req).read())
+        assert len(res["match_summary"]) > 50
+        assert res["query"]["ctg"] == name
+    finally:
+        srv.shutdown()
