@@ -1,0 +1,110 @@
+"""Batched device query: sketch a query batch on TPU, look every canonical
+shimmer pair up in the columnar index with the 128-bit binary search, and
+hand compact hit ids back to the host for signature expansion + chaining.
+
+This is the scale-out query path (hundreds of queries per dispatch); for
+a handful of queries the multi-threaded native host path in
+core/query.py has lower latency (no device round trip).
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..core import query as query_mod
+from ..core.spec import ShmmrSpec
+
+
+def _device_tables(db):
+    import jax.numpy as jnp
+
+    store = db.frg_db if db.frg_db is not None else db.agc_db
+    if store is None:
+        raise ValueError("device query needs a columnar (FRG/PGA) backend")
+    keys = store.index_keys
+    t_h0 = jnp.asarray((keys[:, 0] >> np.uint64(32)).astype(np.uint32))
+    t_l0 = jnp.asarray((keys[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    t_h1 = jnp.asarray((keys[:, 1] >> np.uint64(32)).astype(np.uint32))
+    t_l1 = jnp.asarray((keys[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    return store, (t_h0, t_l0, t_h1, t_l1)
+
+
+def batch_raw_query(db, query_seqs: Sequence[bytes]):
+    """Device-batched equivalent of raw_query_fragment for many queries.
+
+    Returns per-query lists of FragmentHit
+    ((hash0, hash1), (pos0, pos1, orientation), [signatures]).
+    """
+    import jax.numpy as jnp
+
+    from . import mesh as pmesh
+    from ..ops import sketch as sketch_ops
+    from ..ops import sketch1 as sketch1_ops
+
+    spec: ShmmrSpec = db.shmmr_spec
+    store, table = _device_tables(db)
+
+    # device sketch (both modes run on device)
+    if spec.sketch:
+        mers_per_query = [
+            list(zip(*xy)) for xy in sketch_ops.sketch_mode2(
+                query_seqs, spec=spec
+            )
+        ]
+    else:
+        mers_per_query = sketch1_ops.sketch_mode1(query_seqs, spec=spec)
+
+    # canonical pairs per query (host, trivial), then ONE device search
+    all_pairs = []
+    spans = []
+    for mers in mers_per_query:
+        pairs = query_mod.pair_shmmrs_canonical(mers)
+        spans.append((len(all_pairs), len(pairs)))
+        all_pairs.extend(pairs)
+
+    if not all_pairs:
+        return [[] for _ in query_seqs]
+
+    arr = np.asarray(all_pairs, dtype=np.uint64)
+    q_h0 = jnp.asarray((arr[:, 0] >> np.uint64(32)).astype(np.uint32))
+    q_l0 = jnp.asarray((arr[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    q_h1 = jnp.asarray((arr[:, 1] >> np.uint64(32)).astype(np.uint32))
+    q_l1 = jnp.asarray((arr[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    found = np.asarray(
+        pmesh._searchsorted_pairkey(*table, q_h0, q_l0, q_h1, q_l1)
+    )
+
+    # host signature expansion from the columnar blocks
+    lookup = db._lookup_fn()
+    out: List[list] = []
+    for (start, n), _q in zip(spans, query_seqs):
+        hits = []
+        for i in range(start, start + n):
+            s0, s1, p0, p1, ori = all_pairs[i]
+            sigs = lookup(int(s0), int(s1)) if found[i] else []
+            hits.append(((int(s0), int(s1)), (int(p0), int(p1), int(ori)), sigs))
+        out.append(hits)
+    return out
+
+
+def batch_query_to_hps(
+    db,
+    query_seqs: Sequence[bytes],
+    penalty: float = 0.025,
+    max_count: int = 128,
+    max_count_query: int = 128,
+    max_count_target: int = 128,
+    max_aln_span: int = 8,
+    max_gap=None,
+    oriented: bool = False,
+):
+    """Device-sketched batch version of query_fragment_to_hps."""
+    raw_per_query = batch_raw_query(db, query_seqs)
+    return [
+        query_mod.query_fragment_to_hps(
+            raw, penalty, max_count, max_count_query, max_count_target,
+            max_aln_span, max_gap, oriented,
+        )
+        for raw in raw_per_query
+    ]

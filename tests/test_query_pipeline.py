@@ -112,3 +112,20 @@ def test_pgr_make_frgdb_cli(test_data_dir, tmp_path):
     )
     _, built = mdb.read_mdb(out_prefix + ".mdb")
     assert golden == built
+
+
+def test_device_batch_query_matches_host(test_data_dir):
+    """Device-sketched batch query == host per-query path (mode-1 FRG db)."""
+    import pgrtk_tpu
+    from pgrtk_tpu.core.fasta import read_fastx_all
+    from pgrtk_tpu.parallel import device_query
+
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs2.fa.gz"))[:3]
+    seqs = [r.seq[1000:9000] for r in recs]
+
+    got = device_query.batch_query_to_hps(db, seqs)
+    for seq, dev in zip(seqs, got):
+        host = db.query_fragment_to_hps(seq, 0.025)
+        assert dev == host
