@@ -47,7 +47,7 @@ def sharded_sketch_index_step(
     flagship "one training step equivalent": sketch -> compact ->
     min_span filter -> pair -> sort -> global stats, all on device.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
 
@@ -111,7 +111,7 @@ def sharded_sketch_index_step(
             n_pairs=P(),
             n_mers=P(),
         ),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -122,7 +122,7 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
     """Multi-chip query step: sketch the (sharded) query batch against a
     replicated sorted key table; per-shard hit counts are merged with
     psum and the per-query hit mask all_gathered."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
 
@@ -155,7 +155,7 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
             P(axis, None), P(axis), P(axis), P(), P(), P(), P(),
         ),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
 
