@@ -32,7 +32,7 @@ def main():
 
     B, L = 8, 1_048_576
     CHUNK = 512
-    CAPACITY = max(128, L // 64)
+    CAPACITY = max(128, L // 128)
     rng = np.random.default_rng(0)
     arr = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
     lens = jnp.full((B,), L, dtype=jnp.int32)
@@ -46,8 +46,7 @@ def main():
             out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], CAPACITY
         )
         keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, 64)
-        xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
-        pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
+        pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         table = pairs_ops.sort_pairs(pr, rids)
         # fold the table into a scalar so iterations chain (data dependency
         # prevents overlap across timed iterations)

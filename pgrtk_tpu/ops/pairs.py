@@ -158,6 +158,58 @@ def pair_mers_dense(x_hi, x_lo, y_lo, valid):
     )
 
 
+def pair_mers_gapped(x_hi, x_lo, y_lo, kept):
+    """pair_mers_dense over a FILTERED (B, C) stream without recompacting:
+    each kept mer pairs with the next kept mer, found by log2(C) jump-
+    pointer propagation (shift+select) — cheaper than the payload sort
+    recompact_mers would spend to close the gaps.
+
+    Requires the stream to be position-ordered among kept entries (true
+    for compact_mers output).  Returns the same dict as pair_mers_dense.
+    """
+    B, C = x_hi.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+
+    def shift1(v, fill):
+        return jnp.roll(v, -1, axis=1).at[:, -1].set(fill)
+
+    # (has, nx_*) at i = first kept entry strictly after i, within the
+    # examined window (i, i + 2^t]
+    has = shift1(kept, False)
+    nx_hi = shift1(x_hi, U32(0))
+    nx_lo = shift1(x_lo, U32(0))
+    nx_yl = shift1(y_lo, U32(0))
+    d = 1
+    while d < C:
+        in_range = idx < C - d
+
+        def pull(v):
+            return jnp.roll(v, -d, axis=1)
+
+        take = ~has & pull(has) & in_range
+        nx_hi = jnp.where(take, pull(nx_hi), nx_hi)
+        nx_lo = jnp.where(take, pull(nx_lo), nx_lo)
+        nx_yl = jnp.where(take, pull(nx_yl), nx_yl)
+        has = has | take
+        d *= 2
+
+    h_hi = x_hi >> 8
+    h_lo = (x_lo >> 8) | (x_hi << 24)
+    nh_hi = nx_hi >> 8
+    nh_lo = (nx_lo >> 8) | (nx_hi << 24)
+    swap = (h_hi > nh_hi) | ((h_hi == nh_hi) & (h_lo > nh_lo))
+    return dict(
+        k0_hi=jnp.where(swap, nh_hi, h_hi),
+        k0_lo=jnp.where(swap, nh_lo, h_lo),
+        k1_hi=jnp.where(swap, h_hi, nh_hi),
+        k1_lo=jnp.where(swap, h_lo, nh_lo),
+        bgn=(y_lo >> 1).astype(U32) + 1,
+        end=(nx_yl >> 1).astype(U32) + 1,
+        orientation=swap.astype(U32),
+        pair_valid=kept & has,
+    )
+
+
 def sort_pairs(pairs, sid):
     """Sort all pairs of a batch by canonical key (invalid entries last).
 

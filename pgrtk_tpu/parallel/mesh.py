@@ -61,9 +61,9 @@ def sharded_sketch_index_step(
             out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], capacity
         )
         keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, min_span)
-        # re-compact after the filter so pairs link consecutive kept mers
-        xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
-        pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
+        # pair consecutive KEPT mers directly (jump-pointer next-kept
+        # propagation) — no recompaction sort needed
+        pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         local = pairs_ops.sort_pairs(pr, rids)
         n_pairs_local = pr["pair_valid"].sum()
         n_mers_local = keep.sum()
@@ -136,8 +136,7 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
             out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], capacity
         )
         keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, min_span)
-        xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
-        pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
+        pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         # vectorized binary search of each pair key in the replicated table
         hit = _searchsorted_pairkey(
             key_hi0, key_lo0, key_hi1, key_lo1,

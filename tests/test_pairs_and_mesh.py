@@ -30,7 +30,7 @@ def _expected_pairs(seqs, spec):
     return out
 
 
-def _device_table(seqs, spec, capacity=512):
+def _device_table(seqs, spec, capacity=512, gapped=True):
     import jax.numpy as jnp
 
     from pgrtk_tpu.ops import pairs as pairs_ops
@@ -51,19 +51,23 @@ def _device_table(seqs, spec, capacity=512):
     )
     assert not bool(ovf)
     keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, spec.min_span)
-    xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
-    pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
+    if gapped:
+        pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
+    else:
+        xh, xl, yl, valid = pairs_ops.recompact_mers(xh, xl, yl, keep)
+        pr = pairs_ops.pair_mers_dense(xh, xl, yl, valid)
     table = pairs_ops.sort_pairs(
         pr, jnp.arange(len(seqs), dtype=jnp.uint32)
     )
     return {k: np.asarray(v) for k, v in table.items()}
 
 
-def test_device_pair_table_matches_reference(test_data_dir):
+@pytest.mark.parametrize("gapped", [True, False])
+def test_device_pair_table_matches_reference(test_data_dir, gapped):
     recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs.fa"))[:16]
     seqs = [r.seq for r in recs]
     expected = _expected_pairs(seqs, SPEC)
-    table = _device_table(seqs, SPEC)
+    table = _device_table(seqs, SPEC, gapped=gapped)
     valid = table["valid"]
     n = valid.sum()
     assert n == sum(len(v) for v in expected.values())
