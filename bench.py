@@ -32,7 +32,6 @@ def main():
 
     B, L = 8, 1_048_576
     CHUNK = 512
-    CAPACITY = max(128, L // 128)
     rng = np.random.default_rng(0)
     arr = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
     lens = jnp.full((B,), L, dtype=jnp.int32)
@@ -42,10 +41,10 @@ def main():
         out = sketch_ops.sketch_mode2_dense(
             seqs_u8, lens, rids, 56, 4, 64, CHUNK
         )
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], CAPACITY
+        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
         )
-        keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, 64)
+        keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, 64)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         table = pairs_ops.sort_pairs(pr, rids)
         # fold the table into a scalar so iterations chain (data dependency

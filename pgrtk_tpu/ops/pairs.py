@@ -20,6 +20,119 @@ import jax.numpy as jnp
 U32 = jnp.uint32
 
 
+def _rank_extract(x_hi, x_lo, y_lo, selected, block: int, slots: int):
+    """Blockwise sort-free compaction: intra-block cumsum ranks each
+    selected element; one masked u32 reduction per output slot pulls it
+    out (exactly one element matches each (block, slot) rank, so a plain
+    sum is exact — no sorting network, no gathers).
+
+    (B, L) planes -> (B, (L/block)*slots) planes + valid + overflow.
+    Output preserves position order WITHIN each block and across blocks,
+    but invalid slots are interspersed (each block packs its own prefix).
+    """
+    B, L = x_hi.shape
+    if L % block:
+        pad = block - (L % block)
+        pad2 = [(0, 0), (0, pad)]
+        x_hi = jnp.pad(x_hi, pad2)
+        x_lo = jnp.pad(x_lo, pad2)
+        y_lo = jnp.pad(y_lo, pad2)
+        selected = jnp.pad(selected, pad2, constant_values=False)
+        L += pad
+    nb = L // block
+    selb = selected.reshape(B * nb, block)
+    overflow = (selb.sum(axis=1) > slots).any()
+    rank = jnp.cumsum(selb.astype(jnp.int32), axis=1) - 1
+    rank = jnp.where(selb, rank, -1)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (1, slots, 1), 1)
+    hit = rank.reshape(B * nb, 1, block) == slot_ids
+    m = hit.astype(jnp.uint32)
+
+    def extract(v):
+        vb = v.reshape(B * nb, 1, block)
+        return (m * vb).sum(axis=2).reshape(B, nb * slots)
+
+    return (
+        extract(x_hi),
+        extract(x_lo),
+        extract(y_lo),
+        hit.any(axis=2).reshape(B, nb * slots),
+        overflow,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "slots", "block2", "slots2")
+)
+def compact_mers_packed(
+    x_hi, x_lo, y_lo, selected, block: int = 512, slots: int = 16,
+    block2: int = 512, slots2: int = 128
+):
+    """Sort-free two-level compaction to a (B, L/128) POSITION-ORDERED
+    stream with inter-block gaps (no dense prefix): level 1 squeezes the
+    sparse selection 32x, level 2 packs 4x more.  Downstream consumers
+    (min_span_filter_gapped, pair_mers_gapped) handle the gaps with
+    jump-pointer neighbor propagation, so no payload sort is needed at
+    all until the final key sort of the pair table.
+
+    Sized for mode-2 density 2^-8 (r=4): level-1 blocks of 512 see
+    lambda=2 selected (16 slots = 8x headroom), level-2 blocks of 512
+    see lambda=64 (128 slots = 2x headroom; P(overflow) < 1e-12).
+    Callers must check `overflow` and fall back to compact_mers.
+    """
+    xh, xl, yl, valid, ovf1 = _rank_extract(
+        x_hi, x_lo, y_lo, selected, block, slots
+    )
+    xh, xl, yl, valid, ovf2 = _rank_extract(
+        xh, xl, yl, valid, block2, slots2
+    )
+    return xh, xl, yl, valid, ovf1 | ovf2
+
+
+def _next_valid(planes, valid, reverse: bool = False):
+    """Jump-pointer propagation: for each index i, the planes of the
+    nearest valid entry strictly after i (or before, if reverse), plus a
+    has-neighbor mask.  log2(C) shift+select rounds."""
+    B, C = valid.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    sgn = 1 if reverse else -1
+
+    def shift(v, by, fill):
+        r = jnp.roll(v, sgn * by, axis=1)
+        if reverse:
+            return jnp.where(idx < by, fill, r)
+        return jnp.where(idx >= C - by, fill, r)
+
+    has = shift(valid, 1, False)
+    out = [shift(p, 1, jnp.zeros((), p.dtype)) for p in planes]
+    d = 1
+    while d < C:
+        take = ~has & shift(has, d, False)
+        out = [jnp.where(take, shift(p, d, jnp.zeros((), p.dtype)), p)
+               for p in out]
+        has = has | take
+        d *= 2
+    return out, has
+
+
+def min_span_filter_gapped(x_hi, x_lo, y_lo, valid, min_span: int):
+    """min_span/distinctness filter on a position-ordered stream WITH
+    gaps (reference: shmmrutils.rs:536-555).  Same semantics as
+    min_span_filter_dense, neighbors found by jump-pointer propagation."""
+    pos = (y_lo >> 1).astype(jnp.int32)
+    (n_hi, n_lo, n_pos), has_n = _next_valid((x_hi, x_lo, pos), valid)
+    (p_hi, p_lo, p_pos), has_p = _next_valid(
+        (x_hi, x_lo, pos), valid, reverse=True
+    )
+    distinct = ((p_hi != x_hi) | (p_lo != x_lo)) & (
+        (n_hi != x_hi) | (n_lo != x_lo)
+    )
+    interior_ok = (
+        (pos - p_pos > min_span) & (n_pos - pos > min_span) & distinct
+    )
+    return valid & (~has_p | ~has_n | interior_ok)
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "block", "slots"))
 def compact_mers(
     x_hi, x_lo, y_lo, selected, capacity: int, block: int = 512,

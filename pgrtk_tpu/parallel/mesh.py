@@ -37,7 +37,6 @@ def sharded_sketch_index_step(
     r: int = 4,
     min_span: int = 64,
     chunk: int = 512,
-    capacity_div: int = 64,
 ):
     """Build the jitted multi-chip indexing step.
 
@@ -55,20 +54,21 @@ def sharded_sketch_index_step(
         out = sketch_ops.sketch_mode2_dense(
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
-        B, L = seqs_u8.shape
-        capacity = max(128, L // capacity_div)
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], capacity
+        xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
         )
-        keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, min_span)
+        keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         # pair consecutive KEPT mers directly (jump-pointer next-kept
-        # propagation) — no recompaction sort needed
+        # propagation) — the whole path to the key sort is sort-free
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         local = pairs_ops.sort_pairs(pr, rids)
         n_pairs_local = pr["pair_valid"].sum()
         n_mers_local = keep.sum()
         n_pairs = jax.lax.psum(n_pairs_local, axis)
         n_mers = jax.lax.psum(n_mers_local, axis)
+        # any-shard overflow: callers must rebuild via the exact host
+        # path when set (block-local slot loss is not silent)
+        overflow = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
         # replicated-index v1: gather every shard's pairs and sort the full
         # table on each device (the merged sorted table IS the index)
         gathered = {
@@ -94,7 +94,8 @@ def sharded_sketch_index_step(
             k0_hi=k0h, k0_lo=k0l, k1_hi=k1h, k1_lo=k1l,
             sid=s, bgn=b, end=e, orientation=o,
         )
-        return dict(table=table, n_pairs=n_pairs, n_mers=n_mers)
+        return dict(table=table, n_pairs=n_pairs, n_mers=n_mers,
+                    overflow=overflow)
 
     sharded = shard_map(
         local_step,
@@ -110,6 +111,7 @@ def sharded_sketch_index_step(
             },
             n_pairs=P(),
             n_mers=P(),
+            overflow=P(),
         ),
         check_vma=False,
     )
@@ -117,8 +119,7 @@ def sharded_sketch_index_step(
 
 
 def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
-                             min_span: int = 64, chunk: int = 512,
-                             capacity_div: int = 64):
+                             min_span: int = 64, chunk: int = 512):
     """Multi-chip query step: sketch the (sharded) query batch against a
     replicated sorted key table; per-shard hit counts are merged with
     psum and the per-query hit mask all_gathered."""
@@ -130,12 +131,10 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
         out = sketch_ops.sketch_mode2_dense(
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
-        B, L = seqs_u8.shape
-        capacity = max(128, L // capacity_div)
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"], capacity
+        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
         )
-        keep = pairs_ops.min_span_filter_dense(xh, xl, yl, valid, min_span)
+        keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         # vectorized binary search of each pair key in the replicated table
         hit = _searchsorted_pairkey(
