@@ -1,0 +1,105 @@
+"""Bucketed dense probe table: the TPU replacement for hash-map /
+binary-search key lookup.
+
+The reference keys its fragment index with a Rust FxHashMap
+(pgr-db/src/seq_db.rs:72-78); a vectorized 128-bit binary search (see
+parallel/mesh.py) is correct but gather-bound on TPU (~23 dependent
+rounds of random HBM access per query).  Because shimmer-pair keys are
+uniform Wang hashes, a flat bucket table beats both: partition the
+key-sorted table by the top `bits` of hash0, pad every bucket to a fixed
+width W (a multiple of the 128-lane tile), and probe with ONE aligned
+row fetch + W-wide vector compare per query — no dependent memory
+chain, no scalar gathers.
+
+Memory is N * slack (slack ~2x with W=128, lambda=64); the build fails
+over to a wider W if any bucket overflows (uniform hashes make that
+geometrically improbable).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+HASH_BITS = 56  # shimmer hashes are 56-bit (x >> 8)
+
+
+def build_probe_table(keys: np.ndarray, avg_per_bucket: int = 64):
+    """Bucket a KEY-SORTED (N, 2) uint64 key array into dense planes.
+
+    Returns dict with:
+      bits        : bucket index width (top bits of hash0)
+      planes      : 4 x (2^bits, W) uint32 (k0_hi, k0_lo, k1_hi, k1_lo),
+                    padded with 0xFFFFFFFF (never a real 56-bit hash)
+      row         : (2^bits, W) int32 — row index into the sorted table
+                    for each slot (-1 for padding), so a probe hit maps
+                    back to the table's postings block
+    """
+    n = len(keys)
+    bits = max(1, int(np.ceil(np.log2(max(2, n / avg_per_bucket)))))
+    shift = np.uint64(HASH_BITS - bits)
+    bucket = (keys[:, 0] >> shift).astype(np.int64)
+    counts = np.bincount(bucket, minlength=1 << bits)
+    W = 128
+    while counts.max() > W:
+        W *= 2
+    nb = 1 << bits
+    planes = np.full((4, nb, W), 0xFFFFFFFF, dtype=np.uint32)
+    row = np.full((nb, W), -1, dtype=np.int32)
+    # table is key-sorted => buckets are contiguous runs
+    offsets = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    cols = np.arange(n, dtype=np.int64) - offsets[bucket]
+    planes[0, bucket, cols] = (keys[:, 0] >> np.uint64(32)).astype(np.uint32)
+    planes[1, bucket, cols] = (keys[:, 0] & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    )
+    planes[2, bucket, cols] = (keys[:, 1] >> np.uint64(32)).astype(np.uint32)
+    planes[3, bucket, cols] = (keys[:, 1] & np.uint64(0xFFFFFFFF)).astype(
+        np.uint32
+    )
+    row[bucket, cols] = np.arange(n, dtype=np.int32)
+    return dict(bits=bits, planes=planes, row=row)
+
+
+def _probe_hits(table, q_h0, q_l0, q_h1, q_l1):
+    import jax.numpy as jnp
+
+    bits = table["bits"]
+    t0, t1, t2, t3 = (table["planes"][i] for i in range(4))
+    bucket = (q_h0 >> (24 - bits)) if bits <= 24 else (
+        (q_h0 << (bits - 24)) | (q_l0 >> (56 - bits))
+    )
+    bucket = bucket.astype(jnp.int32)
+    # ONE aligned row fetch per query (W-wide tiles), then vector compare
+    hit = (
+        (jnp.take(t0, bucket, axis=0) == q_h0[:, None])
+        & (jnp.take(t1, bucket, axis=0) == q_l0[:, None])
+        & (jnp.take(t2, bucket, axis=0) == q_h1[:, None])
+        & (jnp.take(t3, bucket, axis=0) == q_l1[:, None])
+    )
+    return hit, bucket
+
+
+def probe_found(table, q_h0, q_l0, q_h1, q_l1):
+    """Membership-only probe: (Q,) bool."""
+    hit, _ = _probe_hits(table, q_h0, q_l0, q_h1, q_l1)
+    return hit.any(axis=1)
+
+
+def probe_keys(table, q_h0, q_l0, q_h1, q_l1):
+    """Vectorized probe: (found, row) per query key.
+
+    table: dict from build_probe_table with planes as device arrays
+    (t["planes"][i] -> (2^bits, W) jnp.uint32, t["row"] -> int32).
+    q_*: (Q,) uint32 planes of the query keys.
+    Returns found (Q,) bool and row (Q,) int32 (-1 if absent) — row
+    indexes the key-sorted table for postings expansion.
+    """
+    import jax.numpy as jnp
+
+    hit, bucket = _probe_hits(table, q_h0, q_l0, q_h1, q_l1)
+    br = jnp.take(table["row"], bucket, axis=0)
+    found = hit.any(axis=1)
+    # first (lowest-row) hit; padding rows are -1 so mask with max
+    big = jnp.int32(2**31 - 1)
+    row = jnp.where(hit, br, big).min(axis=1)
+    return found, jnp.where(found, row, -1)

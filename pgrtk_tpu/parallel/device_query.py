@@ -1,6 +1,7 @@
 """Batched device query: sketch a query batch on TPU, look every canonical
-shimmer pair up in the columnar index with the 128-bit binary search, and
-hand compact hit ids back to the host for signature expansion + chaining.
+shimmer pair up in the index with the bucketed probe table (ops/probe.py;
+~60 ns/query vs a gather-bound binary search), and hand compact hit ids
+back to the host for signature expansion + chaining.
 
 This is the scale-out query path (hundreds of queries per dispatch); for
 a handful of queries the multi-threaded native host path in
@@ -17,17 +18,25 @@ from ..core.spec import ShmmrSpec
 
 
 def _device_tables(db):
+    """Build (once) and cache the bucketed probe table for the db's
+    key-sorted columnar index (ops/probe.py)."""
     import jax.numpy as jnp
+
+    from ..ops import probe as probe_ops
 
     store = db.frg_db if db.frg_db is not None else db.agc_db
     if store is None:
         raise ValueError("device query needs a columnar (FRG/PGA) backend")
-    keys = store.index_keys
-    t_h0 = jnp.asarray((keys[:, 0] >> np.uint64(32)).astype(np.uint32))
-    t_l0 = jnp.asarray((keys[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    t_h1 = jnp.asarray((keys[:, 1] >> np.uint64(32)).astype(np.uint32))
-    t_l1 = jnp.asarray((keys[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    return store, (t_h0, t_l0, t_h1, t_l1)
+    cached = getattr(db, "_probe_cache", None)
+    if cached is None:
+        t = probe_ops.build_probe_table(store.index_keys)
+        cached = dict(
+            bits=t["bits"],
+            planes=[jnp.asarray(t["planes"][i]) for i in range(4)],
+            row=jnp.asarray(t["row"]),
+        )
+        db._probe_cache = cached
+    return store, cached
 
 
 def batch_raw_query(db, query_seqs: Sequence[bytes]):
@@ -38,7 +47,7 @@ def batch_raw_query(db, query_seqs: Sequence[bytes]):
     """
     import jax.numpy as jnp
 
-    from . import mesh as pmesh
+    from ..ops import probe as probe_ops
     from ..ops import sketch as sketch_ops
     from ..ops import sketch1 as sketch1_ops
 
@@ -71,9 +80,8 @@ def batch_raw_query(db, query_seqs: Sequence[bytes]):
     q_l0 = jnp.asarray((arr[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
     q_h1 = jnp.asarray((arr[:, 1] >> np.uint64(32)).astype(np.uint32))
     q_l1 = jnp.asarray((arr[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
-    found = np.asarray(
-        pmesh._searchsorted_pairkey(*table, q_h0, q_l0, q_h1, q_l1)
-    )
+    found, _row = probe_ops.probe_keys(table, q_h0, q_l0, q_h1, q_l1)
+    found = np.asarray(found)
 
     # host signature expansion from the columnar blocks
     lookup = db._lookup_fn()

@@ -158,6 +158,54 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
     return jax.jit(sharded)
 
 
+def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
+                             r: int = 4, min_span: int = 64,
+                             chunk: int = 512):
+    """Multi-chip query step against a replicated bucketed PROBE table
+    (ops/probe.py) — the production TPU path: one aligned row fetch +
+    W-wide compare per pair key instead of a gather-bound binary search.
+
+    The returned fn takes (seqs_u8, lengths, rids, p0, p1, p2, p3) with
+    p* the (2^bits, W) probe planes (replicated)."""
+    from jax import shard_map
+
+    from ..ops import probe as probe_ops
+
+    axis = mesh.axis_names[0]
+
+    def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3):
+        out = sketch_ops.sketch_mode2_dense(
+            seqs_u8, lengths, rids, k, r, min_span, chunk
+        )
+        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+        )
+        keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
+        pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
+        B, C = pr["k0_hi"].shape
+        table = dict(bits=bits, planes=[p0, p1, p2, p3], row=None)
+        found = probe_ops.probe_found(
+            table,
+            pr["k0_hi"].reshape(-1), pr["k0_lo"].reshape(-1),
+            pr["k1_hi"].reshape(-1), pr["k1_lo"].reshape(-1),
+        )
+        hit = found.reshape(B, C) & pr["pair_valid"]
+        n_hits = jax.lax.psum(hit.sum(), axis)
+        all_hits = jax.lax.all_gather(hit, axis, tiled=True)
+        return n_hits, all_hits
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis), P(axis), P(), P(), P(), P(),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def _searchsorted_pairkey(t_h0, t_l0, t_h1, t_l1, q_h0, q_l0, q_h1, q_l1):
     """Does each query pair key exist in the sorted table?  128-bit keys as
     4 u32 planes; lexicographic binary search, fully vectorized."""
