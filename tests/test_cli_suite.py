@@ -1,0 +1,179 @@
+"""Smoke tests for the CLI tools not covered by the golden/regression
+suites: every tool runs end-to-end on the shared test data and produces
+structurally sane output."""
+import json
+import os
+
+import pytest
+
+import pgrtk_tpu
+from pgrtk_tpu.core.fasta import read_fastx_all
+
+
+@pytest.fixture(scope="module")
+def sv_outputs(test_data_dir, tmp_path_factory):
+    """One SV-candidate pipeline run shared by the dependent tools."""
+    from pgrtk_tpu.cli import pgr_get_sv_candidate_regions as sv
+
+    td = tmp_path_factory.mktemp("sv")
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_agc_seqs.fa"))[:3]
+    qf = td / "q3.fa"
+    with open(qf, "w") as f:
+        for r in recs:
+            f.write(f">{r.id.decode()}\n{r.seq.decode()}\n")
+    sv.main(
+        [
+            os.path.join(test_data_dir, "test_agc_ref.fa"),
+            str(qf),
+            str(td / "sv"),
+        ]
+    )
+    return td
+
+
+def test_pgr_shmmr_count(test_data_dir, tmp_path, capsys):
+    from pgrtk_tpu.cli import pgr_shmmr_count
+
+    ref = os.path.join(test_data_dir, "test_agc_ref.fa")
+    qry = os.path.join(test_data_dir, "test_agc_seqs.fa")
+    out = str(tmp_path / "counts.tsv")
+    assert pgr_shmmr_count.main([ref, ref, qry, "-o", out]) == 0
+    lines = open(out).read().splitlines()
+    assert lines
+    for ln in lines:
+        parts = ln.split("\t")
+        assert len(parts) >= 4
+        int(parts[1]), int(parts[2])
+
+
+def test_pgr_compare_cov(test_data_dir, tmp_path):
+    from pgrtk_tpu.cli import pgr_compare_cov
+
+    l0 = tmp_path / "set0.txt"
+    l0.write_text(os.path.join(test_data_dir, "test_agc_ref.fa") + "\n")
+    l1 = tmp_path / "set1.txt"
+    l1.write_text(os.path.join(test_data_dir, "test_agc_seqs.fa") + "\n")
+    prefix = str(tmp_path / "cov")
+    assert pgr_compare_cov.main([str(l0), str(l1), prefix]) == 0
+    bg = open(prefix + ".0.bedgraph").read().splitlines()
+    assert bg and all(len(l.split("\t")) == 6 for l in bg)
+
+
+def test_pgr_compare_cov2(test_data_dir, tmp_path):
+    from pgrtk_tpu.cli import pgr_compare_cov2
+
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    srcs = sorted({src for _c, src, _l in db.seq_info.values() if src})
+    spec = tmp_path / "jobs.txt"
+    prefix = str(tmp_path / "cc2")
+    spec.write_text(f"{prefix}\t{srcs[0]}\t{srcs[0]}\n")
+    assert pgr_compare_cov2.main(
+        [str(spec), "-f", os.path.join(test_data_dir, "test_seqs_frag")]
+    ) == 0
+    assert open(prefix + ".0.bedgraph").read().splitlines()
+
+
+def test_pgr_annotate_bed_and_vcf(tmp_path, sv_outputs):
+    from pgrtk_tpu.cli import pgr_annotate
+
+    import gzip
+
+    ann = tmp_path / "ann.gtf.gz"
+    gtf = (
+        'ctg1\tsrc\ttranscript\t1\t1000000\t.\t+\t.\t'
+        'gene_id "G1"; gene_name "geneA"\n'
+        'ctg2\tsrc\ttranscript\t1\t1000000\t.\t+\t.\t'
+        'gene_id "G2"; gene_name "geneB"\n'
+    )
+    with gzip.open(ann, "wt") as f:
+        f.write(gtf)
+    bed = tmp_path / "in.bed"
+    bed.write_text(
+        "ctg1\t100\t200\tA\nctg2\t5\t50\tB\nctgX\t1\t2\tC\n"
+    )
+    out = tmp_path / "out.bed"
+    assert pgr_annotate.main_bed([str(bed), str(ann), str(out)]) == 0
+    lines = open(out).read().splitlines()
+    assert any("geneA" in l for l in lines)
+
+    vcf_in = sv_outputs / "sv.vcf"
+    out_vcf = tmp_path / "out.vcf"
+    assert pgr_annotate.main_vcf([str(vcf_in), str(ann), str(out_vcf)]) == 0
+    assert open(out_vcf).read()
+
+
+def test_pgr_generate_diploid_vcf(tmp_path, sv_outputs):
+    from pgrtk_tpu.cli import pgr_generate_diploid_vcf as dv
+
+    out = tmp_path / "diploid.vcf"
+    assert dv.main(
+        [
+            str(sv_outputs / "sv.alnmap"),
+            str(sv_outputs / "sv.alnmap"),
+            str(sv_outputs / "sv.target_len.json"),
+            str(out),
+            "--sample-name", "S1",
+        ]
+    ) == 0
+    txt = open(out).read()
+    assert txt.startswith("##fileformat=VCF")
+    body = [l for l in txt.splitlines() if not l.startswith("#")]
+    # both haps identical => every genotyped call is homozygous
+    assert body and all(l.split("\t")[-1].startswith(("1|1", "1/1"))
+                        for l in body)
+
+
+def test_pgr_generate_chr_aln_plot(tmp_path, sv_outputs):
+    from pgrtk_tpu.cli import pgr_generate_chr_aln_plot as cap
+
+    prefix = str(tmp_path / "plot")
+    assert cap.main(
+        [str(sv_outputs / "sv.ctgmap.json"), prefix, "--svg"]
+    ) == 0
+    svgs = [p for p in os.listdir(tmp_path) if p.endswith(".svg")]
+    assert svgs and "<svg" in open(tmp_path / svgs[0]).read()
+
+
+@pytest.fixture(scope="module")
+def pbundle_bed(test_data_dir, tmp_path_factory):
+    from pgrtk_tpu.cli import pgr_pbundle_decomp as pbd
+
+    td = tmp_path_factory.mktemp("pb")
+    pbd.main([os.path.join(test_data_dir, "test_seqs.fa"), str(td / "pb")])
+    return td / "pb.bed"
+
+
+def test_pgr_pbundle_aln(tmp_path, pbundle_bed):
+    from pgrtk_tpu.cli import pgr_pbundle_aln
+    from pgrtk_tpu.cli.pgr_pbundle_bed2dist import read_bed
+
+    ctgs = [c for c, _ in read_bed(str(pbundle_bed))][:3]
+    spec = tmp_path / "spec.txt"
+    spec.write_text("\n".join(ctgs) + "\n")
+    prefix = str(tmp_path / "aln")
+    assert pgr_pbundle_aln.main(
+        [str(pbundle_bed), str(spec), prefix]
+    ) == 0
+    outs = [p for p in os.listdir(tmp_path) if p.startswith("aln")]
+    assert outs
+
+
+def test_pgr_pbundle_bed2svg(tmp_path, pbundle_bed):
+    from pgrtk_tpu.cli import pgr_pbundle_bed2svg as b2s
+
+    prefix = str(tmp_path / "view")
+    assert b2s.main([str(pbundle_bed), prefix]) == 0
+    svg = open(prefix + ".svg").read()
+    assert "<svg" in svg and "<title>" in svg
+
+
+def test_pgr_filter_cli(test_data_dir, capsys):
+    from pgrtk_tpu.cli import pgr_filter
+
+    ref = os.path.join(test_data_dir, "test_agc_ref.fa")
+    qry = os.path.join(test_data_dir, "test_agc_seqs.fa")
+    assert pgr_filter.main([ref, "-q", qry]) == 0
+    out = capsys.readouterr().out
+    n = sum(1 for l in out.splitlines() if l.startswith(">"))
+    assert n >= 60  # same-locus reads pass the minimizer screen
