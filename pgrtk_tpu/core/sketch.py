@@ -1,11 +1,15 @@
 """SHIMMER sketch backend dispatch.
 
-Backends, in preference order for host batch sketching:
-  1. native  — C++ libpgrtk (multi-threaded, exact)
-  2. python  — sketch_ref (exact arbiter, slow)
+Backends:
+  native  — C++ libpgrtk (multi-threaded, exact); default
+  python  — sketch_ref (exact arbiter, slow); fallback
+  device  — JAX/TPU kernels (ops/sketch.py, ops/sketch1.py), opt-in via
+            PGRTK_SKETCH_BACKEND=device for batch sketching; exact (the
+            kernels fall back to native/host for the edge cases they
+            flag: palindromic k-mers, chunk-straddling non-ACGT runs).
 
-The JAX/TPU device kernel lives in pgrtk_tpu.ops.sketch and is used by the
-device query/index pipelines; it is validated against these host backends.
+All three are validated against each other and against the reference-
+generated golden .mdb (tests/test_sketch_ref.py, tests/test_ops_*.py).
 """
 from __future__ import annotations
 
@@ -15,7 +19,8 @@ from typing import List, Sequence, Tuple
 from . import sketch_ref
 from .spec import ShmmrSpec
 
-_FORCE = os.environ.get("PGRTK_SKETCH_BACKEND")  # "native" | "python" | None
+# "native" | "python" | "device" | None
+_FORCE = os.environ.get("PGRTK_SKETCH_BACKEND")
 
 
 def _native():
@@ -40,11 +45,31 @@ def sequence_to_shmmrs(
     return sketch_ref.sequence_to_shmmrs(rid, seq, spec, padding)
 
 
+def _batch_device(seqs, spec):
+    from ..ops import sketch as dsk
+    from ..ops import sketch1 as dsk1
+
+    rids = [rid for rid, _s in seqs]
+    byte_seqs = [s for _rid, s in seqs]
+    if spec.sketch:
+        return [
+            list(zip(int_x, int_y))
+            for int_x, int_y in (
+                (x.tolist(), y.tolist())
+                for x, y in dsk.sketch_mode2(byte_seqs, rids, spec)
+            )
+        ]
+    return dsk1.sketch_mode1(byte_seqs, rids, spec)
+
+
 def batch_sequence_to_shmmrs(
     seqs: Sequence[Tuple[int, bytes]], spec: ShmmrSpec, padding: bool = False
 ) -> List[List[Tuple[int, int]]]:
-    """Sketch many (rid, seq) pairs; parallel across sequences natively
+    """Sketch many (rid, seq) pairs; parallel across sequences natively,
+    or batched on the TPU with PGRTK_SKETCH_BACKEND=device
     (the reference parallelizes the same way: seq_db.rs:456-469)."""
+    if _FORCE == "device" and not padding and seqs:
+        return _batch_device(list(seqs), spec)
     nat = _native()
     if nat is not None:
         return nat.batch_sequence_to_shmmrs(seqs, spec, padding)
