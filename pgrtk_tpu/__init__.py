@@ -126,6 +126,12 @@ def rc_byte_seq(seq: bytes) -> bytes:
     return reverse_complement(seq)
 
 
+def rc_u8_seq(seq: bytes) -> bytes:
+    """Alias of rc_byte_seq (reference keeps both names:
+    pgr-tk/pgrtk/__init__.py:57)."""
+    return reverse_complement(seq)
+
+
 def rc(seq: str) -> str:
     return reverse_complement(seq.encode()).decode()
 
