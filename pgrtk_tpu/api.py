@@ -164,6 +164,14 @@ class SeqIndexDB:
         s = self.shmmr_spec
         return None if s is None else (s.w, s.k, s.r, s.min_span, s.sketch)
 
+    def get_seq_index(self):
+        """(ctg_name, source) -> (id, len) (reference: pgr-tk lib.rs:213)."""
+        return None if not self.seq_index else dict(self.seq_index)
+
+    def get_seq_info(self):
+        """id -> (ctg_name, source, len) (reference: pgr-tk lib.rs:221)."""
+        return None if not self.seq_info else dict(self.seq_info)
+
     # ------------------------------------------------------------------
     # queries
     # ------------------------------------------------------------------
