@@ -19,6 +19,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compile cache: remote TPU compiles through the tunnel are
+# erratic (10s-10min); a warm cache makes reruns start in seconds
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_tpu"
+)
+
 BASELINE_BASES_PER_S = 143e6
 
 
