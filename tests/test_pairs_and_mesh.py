@@ -123,3 +123,63 @@ def test_scaling_harness_runs():
     assert len(res) == 2
     assert all(rate > 0 for _n, _t, _dt, rate in res)
     assert 0 < distributed.scaling_efficiency(res)
+
+
+def test_sharded_index_v2_matches_v1():
+    """Hash-range-sharded v2 index: the union of per-device shards is
+    exactly the v1 replicated table, and v2 query fan-out (all_gather
+    keys + per-shard search + psum) finds the same hits."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    n = 8
+    mesh = pmesh.make_mesh(n)
+    axis = mesh.axis_names[0]
+    B, L = 2 * n, 4096
+    rng = np.random.default_rng(5)
+    seqs = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    shard = NamedSharding(mesh, P(axis, None))
+    shard1 = NamedSharding(mesh, P(axis))
+    sd = jax.device_put(jnp.asarray(seqs), shard)
+    ld = jax.device_put(jnp.full(B, L, dtype=jnp.int32), shard1)
+    rd = jax.device_put(jnp.arange(B, dtype=jnp.uint32), shard1)
+
+    v1 = pmesh.sharded_sketch_index_step(mesh, chunk=512)(sd, ld, rd)
+    t1 = v1["table"]
+    valid1 = np.asarray(t1["valid"])
+    keys1 = {
+        (
+            int(np.asarray(t1["k0_hi"])[j]), int(np.asarray(t1["k0_lo"])[j]),
+            int(np.asarray(t1["k1_hi"])[j]), int(np.asarray(t1["k1_lo"])[j]),
+            int(np.asarray(t1["sid"])[j]), int(np.asarray(t1["bgn"])[j]),
+        )
+        for j in np.flatnonzero(valid1)
+    }
+
+    cap = max(128, 2 * len(keys1) // n)
+    v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(sd, ld, rd)
+    assert not bool(v2["shard_overflow"])
+    assert int(v2["n_pairs"]) == len(keys1)
+    sh = v2["shard"]
+    valid2 = np.asarray(sh["valid"])
+    keys2 = {
+        (
+            int(np.asarray(sh["k0_hi"])[j]), int(np.asarray(sh["k0_lo"])[j]),
+            int(np.asarray(sh["k1_hi"])[j]), int(np.asarray(sh["k1_lo"])[j]),
+            int(np.asarray(sh["sid"])[j]), int(np.asarray(sh["bgn"])[j]),
+        )
+        for j in np.flatnonzero(valid2)
+    }
+    assert keys2 == keys1
+
+    qstep = pmesh.sharded_query_v2_step(mesh, cap, chunk=512)
+    planes = tuple(
+        jax.device_put(sh[kk], NamedSharding(mesh, P(axis)))
+        for kk in ("valid", "k0_hi", "k0_lo", "k1_hi", "k1_lo")
+    )
+    n_hits, _found = qstep(sd, ld, rd, *planes)
+    # self-query: every indexed pair key must be found
+    assert int(n_hits) >= int(v2["n_pairs"])
