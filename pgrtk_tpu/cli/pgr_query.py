@@ -100,21 +100,41 @@ def run_query(
     only_summary: bool = False,
     bed_summary: bool = False,
     nthreads: int = 0,
+    batch_device: bool = False,
 ):
-    def one(idx_rec):
-        idx, rec = idx_rec
-        q_name = rec.id.decode()
-        q_len = len(rec.seq)
-        qr = db.query_fragment_to_hps(
-            rec.seq,
+    hps_batch = None
+    if batch_device:
+        # device path: one TPU dispatch sketches + probes ALL queries
+        # (FRG/PGA backends only); chaining stays on the host
+        from ..parallel import device_query
+
+        hps_batch = device_query.batch_query_to_hps(
+            db,
+            [rec.seq for rec in query_seqs],
             gap_penalty_factor,
             max_count,
             max_query_count,
             max_target_count,
             max_aln_chain_span,
-            None,
-            False,
         )
+
+    def one(idx_rec):
+        idx, rec = idx_rec
+        q_name = rec.id.decode()
+        q_len = len(rec.seq)
+        if hps_batch is not None:
+            qr = hps_batch[idx]
+        else:
+            qr = db.query_fragment_to_hps(
+                rec.seq,
+                gap_penalty_factor,
+                max_count,
+                max_query_count,
+                max_target_count,
+                max_aln_chain_span,
+                None,
+                False,
+            )
         regions = merge_regions_for_query(qr, merge_range_tol)
         ext = "hit.bed" if bed_summary else "hit"
         hit_path = f"{output_prefix}.{idx:03}.{ext}"
@@ -188,6 +208,11 @@ def main(argv=None):
     p.add_argument("--only-summary", action="store_true")
     p.add_argument("--bed-summary", action="store_true")
     p.add_argument("--number-of-thread", type=int, default=0)
+    p.add_argument(
+        "--batch-device", action="store_true",
+        help="sketch + index-probe the whole query batch on the TPU "
+        "(FRG/AGC backends)",
+    )
     args = p.parse_args(argv)
 
     db = SeqIndexDB()
@@ -214,6 +239,7 @@ def main(argv=None):
         args.only_summary,
         args.bed_summary,
         args.number_of_thread,
+        args.batch_device,
     )
     return 0
 
