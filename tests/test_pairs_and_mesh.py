@@ -183,3 +183,54 @@ def test_sharded_index_v2_matches_v1():
     n_hits, _found = qstep(sd, ld, rd, *planes)
     # self-query: every indexed pair key must be found
     assert int(n_hits) >= int(v2["n_pairs"])
+
+
+def test_device_pipeline_parity_at_batch_scale():
+    """Full device index pipeline (packed compaction + gapped filter/pair
+    + key sort) against the scalar reference on a synthetic 0.5 Mbase
+    batch — guards the whole fast path, not just small real sequences."""
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seqs = [
+        bases[rng.integers(0, 4, size=n)].tobytes()
+        for n in (65536, 64000, 32768, 10007, 65536, 50000, 4096, 65536)
+    ]
+    expected = _expected_pairs(seqs, SPEC)
+
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import pairs as pairs_ops
+    from pgrtk_tpu.ops import sketch as dsk
+
+    arr, lens = dsk.pad_batch(seqs, multiple=512)
+    out = dsk.sketch_mode2_dense(
+        jnp.asarray(arr), jnp.asarray(lens),
+        jnp.arange(len(seqs), dtype=jnp.uint32),
+        SPEC.k, SPEC.r, SPEC.min_span, 512,
+    )
+    xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
+        out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+    )
+    assert not bool(ovf)
+    keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, SPEC.min_span)
+    pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
+    table = pairs_ops.sort_pairs(pr, jnp.arange(len(seqs), dtype=jnp.uint32))
+
+    va = np.asarray(table["valid"])
+    k0 = (np.asarray(table["k0_hi"]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(table["k0_lo"])
+    k1 = (np.asarray(table["k1_hi"]).astype(np.uint64) << np.uint64(32)) | \
+        np.asarray(table["k1_lo"])
+    got = {}
+    for i in np.flatnonzero(va):
+        got.setdefault((int(k0[i]), int(k1[i])), []).append(
+            (
+                int(np.asarray(table["sid"])[i]),
+                int(np.asarray(table["bgn"])[i]),
+                int(np.asarray(table["end"])[i]),
+                int(np.asarray(table["orientation"])[i]),
+            )
+        )
+    assert sum(len(v) for v in got.values()) == \
+        sum(len(v) for v in expected.values())
+    assert got == expected
