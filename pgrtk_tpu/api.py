@@ -13,7 +13,6 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from .core import frag_io, mdb, query as query_mod
-from .core.fasta import read_fastx
 from .core.seqdb import CompactSeqDB
 from .core.spec import ShmmrSpec
 

@@ -14,7 +14,7 @@ import argparse
 import json
 import sys
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 from ..api import SeqIndexDB
 from ..core.fasta import read_fastx_all, reverse_complement

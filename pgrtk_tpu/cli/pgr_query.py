@@ -12,7 +12,6 @@ import argparse
 import os
 import sys
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Tuple
 
 from ..api import SeqIndexDB
 from ..core.fasta import read_fastx_all, reverse_complement

@@ -15,7 +15,7 @@ enum discriminants are u32 varints; Vec/String are length-prefixed.
 from __future__ import annotations
 
 import struct
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 
 class Reader:

@@ -13,7 +13,6 @@ from typing import Dict, List, Optional, Tuple
 
 from . import bincodec, fragcomp, mdb
 from .fasta import reverse_complement
-from .spec import ShmmrSpec
 
 FRG_MAGIC = b"FRG:0.5"
 SDX_MAGIC = b"SDX:0.5"

@@ -15,7 +15,7 @@ flat columnar view suitable for device upload.
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

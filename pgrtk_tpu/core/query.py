@@ -6,7 +6,7 @@ pgr-db/src/aln.rs:147-242).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from . import mdb
-from .fasta import read_fastx, reverse_complement
+from .fasta import read_fastx
 from .spec import ShmmrSpec
 
 # fragment kinds

@@ -9,7 +9,7 @@ per-hit BED records + an SVG/HTML painting.
 from __future__ import annotations
 
 from dataclasses import asdict, dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 from ..api import SeqIndexDB, get_principal_bundle_decomposition
 from ..cli.pgr_pbundle_bed2svg import CMAP

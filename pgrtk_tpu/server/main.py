@@ -19,7 +19,6 @@ import json
 import os
 import sys
 import urllib.parse
-from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..api import SeqIndexDB
