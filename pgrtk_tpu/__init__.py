@@ -21,6 +21,7 @@ from .core.wfa import (  # noqa: F401
 )
 from .core.fasta import reverse_complement  # noqa: F401
 from .core.pga import AGCFile, PgaFile  # noqa: F401
+from .core.agc import AgcFile, open_archive  # noqa: F401
 from .core.spec import ShmmrSpec  # noqa: F401
 
 

@@ -1,6 +1,6 @@
-"""pgr-mdb equivalent: build .mdb/.midx index from PGA archives
-(reference: pgr-bin/src/bin/pgr-mdb.rs — AGC-backed there; our archive
-backend is PGA, see pgrtk_tpu.core.pga).  Index-only build (no fragment
+"""pgr-mdb equivalent: build .mdb/.midx index from compressed archives
+(reference: pgr-bin/src/bin/pgr-mdb.rs).  Accepts both our .pga archives
+and real AGC v2 .agc files (pgrtk_tpu.core.agc).  Index-only build (no fragment
 bases), defaults w=80 k=56 r=4 min_span=64, optional --sketch mode.
 """
 from __future__ import annotations
@@ -8,7 +8,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ..core.pga import PgaFile
+from ..core.agc import open_archive
 from ..core.seqdb import CompactSeqDB
 from ..core.spec import ShmmrSpec
 
@@ -35,7 +35,7 @@ def main(argv=None):
     with open(args.filepath) as f:
         archives = [line.strip() for line in f if line.strip()]
     for path in archives:
-        pga = PgaFile(path)
+        pga = open_archive(path)
         records = []
         for sample in pga.list_samples():
             for ctg, _ln in pga.list_ctgs(sample):

@@ -118,8 +118,12 @@ class PgaFile:
         return self.get_sub_seq(sample, ctg, 0, -1)
 
 
-# keep the reference class name available
-AGCFile = PgaFile
+def AGCFile(filepath: str):
+    """Reference class name: opens either archive flavor — our .pga or
+    a real AGC v2 .agc (read-only, core/agc.py) — sniffed by content."""
+    from .agc import open_archive
+
+    return open_archive(filepath)
 
 
 def create_pga(
@@ -148,7 +152,14 @@ class PgaSeqDB:
     agc_io.rs:43-47, loader ext.rs:87-129)."""
 
     def __init__(self, prefix: str):
-        self.pga = PgaFile(prefix + ".pga")
+        from .agc import open_archive
+
+        for ext in (".pga", ".agc"):
+            if os.path.exists(prefix + ext):
+                self.pga = open_archive(prefix + ext)
+                break
+        else:
+            raise IOError(f"no archive found at {prefix}.pga / {prefix}.agc")
         (
             self.spec,
             self.index_keys,
