@@ -71,22 +71,15 @@ def get_match_positions_with_fragment(
 HitPair = Tuple[Tuple[int, int, int], Tuple[int, int, int]]
 
 
-def query_fragment_to_hps(
+def collect_target_hits(
     raw_query_hits: List[FragmentHit],
-    penalty: float,
     max_count: Optional[int] = None,
     max_count_query: Optional[int] = None,
     max_count_target: Optional[int] = None,
-    max_aln_span: Optional[int] = None,
-    max_gap: Optional[int] = None,
-    oriented: bool = False,
-) -> List[Tuple[int, List[Tuple[float, List[HitPair]]]]]:
-    """Count-filter raw hits and chain per target (reference: aln.rs:147-242).
-
-    Returns [(target_sid, [(score, [HitPair])])] sorted by sid (the
-    reference emits hash-map order; sid order is our canonical order).
-    """
-    # count shimmer pairs in the raw hits (once per query occurrence)
+) -> Dict[int, List[HitPair]]:
+    """Count-filter raw hits into per-target anchor lists (the stage of
+    aln.rs:147-199 before chaining): drop shimmer pairs that occur too
+    often in the query or on a given target."""
     pair_count: Dict[Tuple[int, int], int] = {}
     target_pair_count: Dict[Tuple[int, int, int], int] = {}
     for pair, _qpos, sigs in raw_query_hits:
@@ -111,7 +104,27 @@ def query_fragment_to_hps(
             target_hits.setdefault(sid, []).append(
                 (left, (p0, p1, orientation))
             )
+    return target_hits
 
+
+def query_fragment_to_hps(
+    raw_query_hits: List[FragmentHit],
+    penalty: float,
+    max_count: Optional[int] = None,
+    max_count_query: Optional[int] = None,
+    max_count_target: Optional[int] = None,
+    max_aln_span: Optional[int] = None,
+    max_gap: Optional[int] = None,
+    oriented: bool = False,
+) -> List[Tuple[int, List[Tuple[float, List[HitPair]]]]]:
+    """Count-filter raw hits and chain per target (reference: aln.rs:147-242).
+
+    Returns [(target_sid, [(score, [HitPair])])] sorted by sid (the
+    reference emits hash-map order; sid order is our canonical order).
+    """
+    target_hits = collect_target_hits(
+        raw_query_hits, max_count, max_count_query, max_count_target
+    )
     span = 8 if max_aln_span is None else max_aln_span
     out = []
     from ..native import api as native

@@ -1,25 +1,48 @@
-"""Batched sparse anchor-chain DP scoring on device.
+"""Batched sparse anchor-chain DP scoring on device — exact reference
+semantics with a bounded lookback window and a per-group exactness flag.
 
-The reference chains anchors per (query, target) group with an O(n·span)
-serial DP (pgr-db/src/aln.rs:12-142).  Here G groups are scored
-simultaneously: one `lax.scan` walks the anchor index while every group
-occupies a VPU lane row, and each step scores the current anchor against a
-rolling window of the previous W anchors (vectorized compare + max).
+The reference chains anchors per (query, target) group with a serial DP
+(pgr-db/src/aln.rs:12-142): anchors sorted by q_bgn; each anchor scans
+predecessors from nearest to farthest and STOPS once it has examined
+`max_span` DISTINCT predecessor left-coordinates (a per-anchor break over
+a value set, not a fixed window).  Three quirks matter for bit-parity:
 
-Semantics note: the reference bounds the backward scan by the number of
-DISTINCT predecessor left-coordinates (max_span), which can reach further
-back than any fixed window when anchors repeat.  This kernel uses a plain
-W-anchor lookback — identical to the reference whenever each anchor's
-max_span distinct predecessors fit in W (always true when left
-coordinates are unique and W >= the group size or no better predecessor
-lies further back).  The host C++ path (native/src/chain.cc) remains the
-bit-exact arbiter; this kernel is the high-throughput batch scorer.
-Traceback (iterated best-first chain extraction) runs on host from the
-returned score/predecessor planes.
+  * the DP score map is keyed by anchor VALUE, so duplicate anchors share
+    one entry and later occurrences overwrite earlier ones
+    (aln.rs: `v_s.insert(*hp, ...)`);
+  * the nearest predecessor wins score ties (strict `>` scanning from
+    nearest to farthest);
+  * predecessors skipped by the orientation / max_gap / same-left filters
+    do NOT count toward the `max_span` distinct-left break.
+
+This kernel scores G groups simultaneously: one `lax.scan` walks the
+anchor index while every group occupies a VPU lane row, and each step
+scores the current anchor against a rolling window of the previous W
+anchors with the exact distinct-left break applied INSIDE the window
+(pairwise distinct-left masks, O(W^2) per step, vectorized).  Whenever
+the reference's scan would have had to look beyond the last W anchors
+(window exhausted with fewer than `max_span` distinct lefts and
+predecessors evicted), the group is flagged `inexact` so the caller can
+fall back to the bit-exact host path (native/src/chain.cc).  Groups not
+flagged are bit-identical to the reference: the scan stays within the
+last W steps, and duplicate slots are overwritten on insertion so every
+window occurrence of a value carries the value's latest score, exactly
+like the reference's value-keyed map.
+
+All coordinates are converted u32 -> f32 BEFORE any subtraction (the
+reference's `as f32` casts round above 2^24) and the score is accumulated
+in the reference's f32 op order; equality comparisons (same-left,
+duplicate detection) use the integer coordinates, not the lossy floats.
+
+Traceback (iterated best-first chain extraction, aln.rs:105-141) runs on
+host from the returned score/predecessor planes, deduplicating anchors by
+value (first-appearance candidate order, last-occurrence score/prev) to
+mirror the reference's value-keyed maps.
 """
 from __future__ import annotations
 
 import functools
+import struct
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +51,13 @@ import numpy as np
 NEG = jnp.float32(-3.0e38)
 
 
+def _f32(v: float) -> float:
+    return struct.unpack("f", struct.pack("f", v))[0]
+
+
 @functools.partial(
-    jax.jit, static_argnames=("lookback", "oriented", "max_gap", "penalty")
+    jax.jit,
+    static_argnames=("lookback", "oriented", "max_gap", "penalty", "max_span"),
 )
 def chain_scores_dense(
     anchors: jnp.ndarray,
@@ -37,9 +65,10 @@ def chain_scores_dense(
     penalty: float,
     max_gap: int = -1,
     oriented: bool = False,
-    lookback: int = 64,
+    lookback: int = 32,
+    max_span: int = 8,
 ):
-    """Score anchors against their predecessors.
+    """Score anchors against their predecessors, reference-exactly.
 
     Args:
       anchors: (G, N, 6) uint32 — q_bgn, q_end, q_ori, t_bgn, t_end, t_ori,
@@ -49,82 +78,122 @@ def chain_scores_dense(
       penalty: gap penalty factor (f32)
       max_gap: max allowed gap (<0 = unbounded)
       oriented: require consistent relative orientation
-      lookback: W, number of previous anchors considered
+      lookback: W, number of previous anchors held in the window
+      max_span: the reference's distinct-left-coordinate scan bound
 
-    Returns (scores (G, N) f32, best_prev (G, N) i32 — index of the best
-    predecessor or -1).
+    Returns (scores (G, N) f32, best_prev (G, N) i32 — anchor index of the
+    best predecessor or -1, inexact (G,) bool — True when some anchor's
+    scan would have left the window, so the group needs the host path).
     """
     G, N, _ = anchors.shape
-    a = anchors.astype(jnp.float32)
-    q_bgn, q_end, q_ori, t_bgn, t_end, t_ori = (a[..., i] for i in range(6))
-    self_score = q_end - q_bgn
-    rel_ori = (anchors[..., 2] ^ anchors[..., 5]).astype(jnp.int32)
-    same_ori = anchors[..., 2] == anchors[..., 5]
+    ai = anchors.astype(jnp.int32)  # bit-exact equality comparisons
+    af = anchors.astype(jnp.float32)
+    q_bgn_f, q_end_f = af[..., 0], af[..., 1]
+    self_score = q_end_f - q_bgn_f
+    rel_ori = (ai[..., 2] ^ ai[..., 5]).astype(jnp.int32)
+    same_ori = ai[..., 2] == ai[..., 5]
 
     W = lookback
 
-    def zero_w(dtype=jnp.float32):
-        return jnp.zeros((G, W), dtype=dtype)
+    def wfull(v, dtype=jnp.float32):
+        return jnp.full((G, W), v, dtype=dtype)
 
     init = dict(
-        w_qb=zero_w(), w_qe=zero_w(), w_tb=zero_w(), w_te=zero_w(),
-        w_rel=zero_w(jnp.int32),
-        w_score=jnp.full((G, W), NEG),
-        w_idx=jnp.full((G, W), -1, dtype=jnp.int32),
-        w_qo=zero_w(jnp.int32),
+        # f32 coords for arithmetic
+        f_qe=wfull(0.0), f_tb=wfull(0.0), f_te=wfull(0.0),
+        # integer coords for equality (same-left + duplicate detection)
+        i_qb=wfull(-1, jnp.int32), i_qe=wfull(-1, jnp.int32),
+        i_qo=wfull(-1, jnp.int32), i_tb=wfull(-1, jnp.int32),
+        i_te=wfull(-1, jnp.int32), i_to=wfull(-1, jnp.int32),
+        w_rel=wfull(0, jnp.int32),
+        w_score=wfull(NEG),
+        w_idx=wfull(-1, jnp.int32),
+        inexact=jnp.zeros((G,), dtype=jnp.bool_),
     )
 
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
 
     xs = dict(
         i=jnp.arange(N, dtype=jnp.int32),
-        qb=q_bgn.T, qe=q_end.T, tb=t_bgn.T, te=t_end.T,
+        f_qb=q_bgn_f.T, f_qe=q_end_f.T, f_tb=af[..., 3].T, f_te=af[..., 4].T,
+        i_qb=ai[..., 0].T, i_qe=ai[..., 1].T, i_qo=ai[..., 2].T,
+        i_tb=ai[..., 3].T, i_te=ai[..., 4].T, i_to=ai[..., 5].T,
         rel=rel_ori.T, so=same_ori.T,
-        qo=anchors[..., 2].astype(jnp.int32).T,
         self_score=self_score.T,
         is_valid=valid.T,
     )
 
     def step(carry, x):
         i = x["i"]
-        cqb = x["qb"][:, None]
-        cqe = x["qe"][:, None]
-        ctb = x["tb"][:, None]
-        cte = x["te"][:, None]
-        crel = x["rel"][:, None]
-        cso = x["so"][:, None]
-        cqo = x["qo"][:, None]
+        occupied = carry["w_idx"] >= 0  # (G, W)
 
-        gap_q = jnp.abs(cqb - carry["w_qe"])
-        gap_t_same = jnp.abs(ctb - carry["w_te"])
-        gap_t_diff = jnp.abs(cte - carry["w_tb"])
-        gap_t = jnp.where(cso, gap_t_same, gap_t_diff)
+        # --- predecessor filters (reference scan order: oriented, max_gap,
+        # same-left; none of these count toward the distinct-left span) ---
+        gap_q = jnp.abs(x["f_qb"][:, None] - carry["f_qe"])
+        gap_t_same = jnp.abs(x["f_tb"][:, None] - carry["f_te"])
+        gap_t_diff = jnp.abs(x["f_te"][:, None] - carry["f_tb"])
+        gap_t = jnp.where(x["so"][:, None], gap_t_same, gap_t_diff)
 
-        ok = carry["w_score"] > NEG
+        unfiltered = occupied
         if oriented:
-            ok = ok & (carry["w_rel"] == crel)
+            unfiltered = unfiltered & (carry["w_rel"] == x["rel"][:, None])
         if max_gap >= 0:
             mg = jnp.float32(max_gap)
-            ok = ok & (gap_q <= mg) & (gap_t <= mg)
-        # don't connect to an anchor with the same left coordinate
-        same_left = (
-            (carry["w_qb"] == cqb)
-            & (carry["w_qe"] == cqe)
-            & (carry["w_qo"] == cqo)
+            unfiltered = unfiltered & (gap_q <= mg) & (gap_t <= mg)
+        same_left_cur = (
+            (carry["i_qb"] == x["i_qb"][:, None])
+            & (carry["i_qe"] == x["i_qe"][:, None])
+            & (carry["i_qo"] == x["i_qo"][:, None])
         )
-        ok = ok & ~same_left
+        unfiltered = unfiltered & ~same_left_cur
 
-        cand = (
-            carry["w_score"]
-            + (cqe - cqb)
-            - jnp.float32(penalty) * (gap_q + gap_t)
+        # --- distinct-left break within the window ------------------------
+        # A slot's left coordinate is "new" if no NEARER unfiltered slot
+        # shares it (the nearest occurrence adds it to the span set).  The
+        # scan processes slots in recency order and stops once the number
+        # of distinct lefts reaches max_span, so a slot is scored iff the
+        # distinct count among strictly nearer unfiltered slots < max_span.
+        pair_same_left = (
+            (carry["i_qb"][:, :, None] == carry["i_qb"][:, None, :])
+            & (carry["i_qe"][:, :, None] == carry["i_qe"][:, None, :])
+            & (carry["i_qo"][:, :, None] == carry["i_qo"][:, None, :])
+        )  # (G, W, W): [g, a, b] lefts equal
+        nearer = carry["w_idx"][:, None, :] > carry["w_idx"][:, :, None]
+        unf_b = unfiltered[:, None, :]
+        is_new = unfiltered & ~jnp.any(pair_same_left & nearer & unf_b, axis=2)
+        n_new_nearer = jnp.sum(
+            (is_new[:, None, :] & nearer).astype(jnp.int32), axis=2
         )
-        cand = jnp.where(ok, cand, NEG)
+        scored = unfiltered & (n_new_nearer < max_span)
+
+        # window exhausted without the break, with evicted predecessors:
+        # the reference would scan past the window -> flag the group
+        total_new = jnp.sum(is_new.astype(jnp.int32), axis=1)
+        inexact = carry["inexact"] | (
+            x["is_valid"] & (i > W) & (total_new < max_span)
+        )
+
+        # --- score (reference f32 op order, aln.rs:60-75) -----------------
+        span_cur = x["self_score"][:, None]
+        s1 = carry["w_score"] + span_cur
+        gap = gap_q + gap_t
+        # XLA contracts `s1 - penalty*gap` into an FMA (single rounding),
+        # diverging from the reference's two-step f32 rounding by ~1 ulp.
+        # An abs() between the mul and the sub blocks the contraction; it
+        # is a numeric no-op because penalty*gap never changes sign (the
+        # sign is static: gap >= 0).
+        gp = jnp.abs(jnp.float32(penalty) * gap)
+        if penalty < 0:
+            gp = -gp
+        cand = s1 - gp
+        cand = jnp.where(scored, cand, NEG)
         best = cand.max(axis=1)
-        best_slot = cand.argmax(axis=1)
-        best_prev_idx = jnp.take_along_axis(
-            carry["w_idx"], best_slot[:, None], axis=1
-        )[:, 0]
+        # nearest predecessor wins ties (strict `>` scanning near->far):
+        # among slots attaining the max, take the largest original index
+        at_best = scored & (cand == best[:, None])
+        best_prev_idx = jnp.max(
+            jnp.where(at_best, carry["w_idx"], -1), axis=1
+        )
 
         use_prev = best > 0.0
         score_i = jnp.where(use_prev, best, x["self_score"])
@@ -132,68 +201,114 @@ def chain_scores_dense(
         is_valid = x["is_valid"]
         score_i = jnp.where(is_valid, score_i, NEG)
 
-        # insert current anchor into slot i % W
-        slot = i % W
-        at = slot_iota == slot
+        # --- insertion: ring slot i % W; additionally overwrite the SCORE
+        # of any window duplicate of the current anchor (same 6-tuple), so
+        # every occurrence of a value carries the value's latest score —
+        # the reference's value-keyed v_s map (aln.rs: `v_s.insert(*hp)`).
+        # Only the score is overwritten: the slot keeps its own index so
+        # distinct-left counting sees each occurrence once, and the host
+        # traceback canonicalizes indices by value anyway. ----------------
+        at = slot_iota == (i % W)
+        dup = (
+            occupied & is_valid[:, None]
+            & same_left_cur
+            & (carry["i_tb"] == x["i_tb"][:, None])
+            & (carry["i_te"] == x["i_te"][:, None])
+            & (carry["i_to"] == x["i_to"][:, None])
+        )
 
         def put(w, v):
             return jnp.where(at, v[:, None], w)
 
+        new_idx = jnp.where(is_valid, i, -1).astype(jnp.int32)
         carry = dict(
-            w_qb=put(carry["w_qb"], x["qb"]),
-            w_qe=put(carry["w_qe"], x["qe"]),
-            w_tb=put(carry["w_tb"], x["tb"]),
-            w_te=put(carry["w_te"], x["te"]),
+            f_qe=put(carry["f_qe"], x["f_qe"]),
+            f_tb=put(carry["f_tb"], x["f_tb"]),
+            f_te=put(carry["f_te"], x["f_te"]),
+            i_qb=put(carry["i_qb"], x["i_qb"]),
+            i_qe=put(carry["i_qe"], x["i_qe"]),
+            i_qo=put(carry["i_qo"], x["i_qo"]),
+            i_tb=put(carry["i_tb"], x["i_tb"]),
+            i_te=put(carry["i_te"], x["i_te"]),
+            i_to=put(carry["i_to"], x["i_to"]),
             w_rel=put(carry["w_rel"], x["rel"]),
-            w_score=put(carry["w_score"], score_i),
-            w_idx=put(
-                carry["w_idx"],
-                jnp.where(is_valid, jnp.full((G,), i, jnp.int32), -1),
-            ),
-            w_qo=put(carry["w_qo"], x["qo"]),
+            w_score=jnp.where(at | dup, score_i[:, None], carry["w_score"]),
+            w_idx=put(carry["w_idx"], new_idx),
+            inexact=inexact,
         )
         return carry, (score_i, prev_i)
 
-    _, (scores_t, prev_t) = jax.lax.scan(step, init, xs)
-    return scores_t.T, prev_t.T
+    final, (scores_t, prev_t) = jax.lax.scan(step, init, xs)
+    return scores_t.T, prev_t.T, final["inexact"]
 
 
-def traceback(scores: np.ndarray, prev: np.ndarray, valid: np.ndarray):
+def traceback(
+    scores: np.ndarray,
+    prev: np.ndarray,
+    valid: np.ndarray,
+    anchors: np.ndarray,
+):
     """Host traceback mirroring the reference's iterated best-first chain
-    extraction (aln.rs:105-141).  Returns per-group [(score, [indices])]."""
+    extraction over VALUE-deduplicated anchors (aln.rs:105-141): candidate
+    order is first appearance in the sorted list, score/prev of a value
+    come from its LAST occurrence (the reference's maps are value-keyed).
+
+    Returns per-group [(score, [(q_triple, t_triple), ...])].
+    """
     G, N = scores.shape
     out = []
     for g in range(G):
-        unvisited = set(np.flatnonzero(valid[g]).tolist())
+        idxs = np.flatnonzero(valid[g])
+        first_of = {}
+        last_of = {}
+        uniq = []
+        keys = [tuple(int(v) for v in anchors[g, i]) for i in range(N)]
+        for i in idxs:
+            k = keys[i]
+            if k not in first_of:
+                first_of[k] = i
+                uniq.append(k)
+            last_of[k] = i
         s = scores[g]
         p = prev[g]
+        unvisited = set(uniq)
         chains = []
-        order = np.argsort(-s)
         while unvisited:
-            best_v = None
-            for i in order:
-                if i in unvisited and s[i] > 0:
-                    best_v = int(i)
-                    break
-            if best_v is None:
+            best_s = 0.0
+            best_k = None
+            for k in uniq:
+                if k not in unvisited:
+                    continue
+                sk = float(s[last_of[k]])
+                if sk > best_s:
+                    best_s = sk
+                    best_k = k
+            if best_k is None:
                 break
             track = []
-            v = best_v
-            while v >= 0 and v in unvisited:
-                track.append(v)
-                v = int(p[v])
+            k = best_k
+            while k is not None and k in unvisited:
+                track.append(k)
+                pi = int(p[last_of[k]])
+                k = keys[pi] if pi >= 0 else None
             if not track:
                 break
             track.reverse()
             unvisited.difference_update(track)
-            chains.append((float(s[best_v] - s[track[0]]), track))
+            bgn_s = float(s[last_of[track[0]]])
+            chains.append(
+                (
+                    _f32(best_s - bgn_s),
+                    [((k[0], k[1], k[2]), (k[3], k[4], k[5])) for k in track],
+                )
+            )
         out.append(chains)
     return out
 
 
-def pad_groups(groups, lookback: int = 64):
+def pad_groups(groups):
     """Host helper: list of (n_i, 6) uint32 anchor arrays (pre-sorted by
-    q_bgn) -> (G, N, 6) padded batch + valid mask."""
+    q_bgn, stable) -> (G, N, 6) padded batch + valid mask."""
     G = len(groups)
     N = max((g.shape[0] for g in groups), default=1)
     N = max(N, 1)
@@ -204,3 +319,88 @@ def pad_groups(groups, lookback: int = 64):
         anchors[i, :n] = g
         valid[i, :n] = True
     return anchors, valid
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def chain_groups(
+    groups,
+    penalty: float,
+    max_span: int = 8,
+    max_gap=None,
+    oriented: bool = False,
+    lookback: int = 32,
+):
+    """Chain many anchor groups on device with host fallback.
+
+    Args:
+      groups: list of (n_i, 6) uint32 arrays, UNSORTED (sorted here with a
+              stable q_bgn sort, as the reference does).
+    Returns: list (per group) of [(score, [HitPair, ...])], bit-identical
+    to `core.aln_ref.sparse_aln`.  Groups whose scan would exceed the
+    lookback window are re-run on the exact host path.
+    """
+    from ..native import api as native
+
+    if not groups:
+        return []
+    sorted_groups = []
+    for g in groups:
+        g = np.ascontiguousarray(g, dtype=np.uint32)
+        order = np.argsort(g[:, 0], kind="stable")
+        sorted_groups.append(g[order])
+
+    results = [None] * len(groups)
+    # bucket by padded size to bound jit recompiles (pow2 shapes)
+    buckets = {}
+    for gi, g in enumerate(sorted_groups):
+        buckets.setdefault(_next_pow2(max(g.shape[0], 8)), []).append(gi)
+
+    mg = -1 if max_gap is None else int(max_gap)
+    for npad, gids in buckets.items():
+        anchors, valid = pad_groups([sorted_groups[i] for i in gids])
+        pad_n = npad - anchors.shape[1]
+        if pad_n > 0:
+            anchors = np.pad(anchors, ((0, 0), (0, pad_n), (0, 0)))
+            valid = np.pad(valid, ((0, 0), (0, pad_n)))
+        scores, prev, inexact = chain_scores_dense(
+            jnp.asarray(anchors),
+            jnp.asarray(valid),
+            penalty,
+            mg,
+            oriented,
+            lookback=lookback,
+            max_span=max_span,
+        )
+        scores = np.asarray(scores)
+        prev = np.asarray(prev)
+        inexact = np.asarray(inexact)
+        exact_rows = np.flatnonzero(~inexact)
+        tb = traceback(
+            scores[exact_rows], prev[exact_rows], valid[exact_rows],
+            anchors[exact_rows],
+        )
+        for row, chains in zip(exact_rows, tb):
+            results[gids[row]] = chains
+        for row in np.flatnonzero(inexact):
+            gi = gids[row]
+            chains = native.sparse_aln(
+                sorted_groups[gi], max_span, penalty, max_gap, oriented
+            )
+            results[gi] = [
+                (
+                    score,
+                    [
+                        ((int(r[0]), int(r[1]), int(r[2])),
+                         (int(r[3]), int(r[4]), int(r[5])))
+                        for r in track
+                    ],
+                )
+                for score, track in chains
+            ]
+    return results

@@ -106,13 +106,43 @@ def batch_query_to_hps(
     max_aln_span: int = 8,
     max_gap=None,
     oriented: bool = False,
+    device_chain: bool = True,
 ):
-    """Device-sketched batch version of query_fragment_to_hps."""
+    """Device-sketched, device-chained batch version of
+    query_fragment_to_hps: sketch + index probe on device, count-filter on
+    host, then ONE batched device chain-DP over every (query, target)
+    anchor group (ops/chain.py — bit-exact, with per-group host fallback
+    when a group's scan exceeds the lookback window)."""
     raw_per_query = batch_raw_query(db, query_seqs)
-    return [
-        query_mod.query_fragment_to_hps(
-            raw, penalty, max_count, max_count_query, max_count_target,
-            max_aln_span, max_gap, oriented,
+    if not device_chain:
+        return [
+            query_mod.query_fragment_to_hps(
+                raw, penalty, max_count, max_count_query, max_count_target,
+                max_aln_span, max_gap, oriented,
+            )
+            for raw in raw_per_query
+        ]
+
+    from ..ops import chain as chain_ops
+
+    span = 8 if max_aln_span is None else max_aln_span
+    groups = []
+    layout = []  # (query_idx, sid) aligned with groups
+    for qidx, raw in enumerate(raw_per_query):
+        th = query_mod.collect_target_hits(
+            raw, max_count, max_count_query, max_count_target
         )
-        for raw in raw_per_query
-    ]
+        for sid in sorted(s for s in th if len(th[s]) > 1):
+            arr = np.asarray(
+                [[*a, *b] for a, b in th[sid]], dtype=np.uint32
+            )
+            groups.append(arr)
+            layout.append((qidx, sid))
+
+    chained = chain_ops.chain_groups(
+        groups, penalty, max_span=span, max_gap=max_gap, oriented=oriented
+    )
+    out = [[] for _ in query_seqs]
+    for (qidx, sid), chains in zip(layout, chained):
+        out[qidx].append((sid, chains))
+    return out

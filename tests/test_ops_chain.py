@@ -1,7 +1,15 @@
-"""Device chain-DP scorer vs the exact reference DP (unbounded span)."""
+"""Device chain-DP scorer vs the exact scalar reference (aln_ref).
+
+The device kernel (ops/chain.py) claims BIT-exact parity with the
+reference DP (pgr-db/src/aln.rs:12-142) for every group it does not flag
+`inexact`; `chain_groups` falls back to the native host path for flagged
+groups.  These tests assert bit-for-bit equality of chain partitions AND
+f32 scores — no tolerances.
+"""
 import os
 
 import numpy as np
+import pytest
 
 from pgrtk_tpu.core import aln_ref
 
@@ -17,7 +25,56 @@ def _load_hits(test_data_dir, n=400):
     return hits
 
 
-def test_chain_scores_match_reference_full_lookback(test_data_dir):
+def _as_arr(hits):
+    return np.asarray([[*a, *b] for a, b in hits], dtype=np.uint32)
+
+
+def _assert_chains_equal(got, ref):
+    assert len(got) == len(ref)
+    for (ds, dtrack), (rs, rtrack) in zip(got, ref):
+        assert ds == rs, (ds, rs)
+        assert dtrack == rtrack
+
+
+def test_chain_groups_bit_exact_production_span(test_data_dir):
+    """max_span=8 (the production default) + W=32 window; inexact groups
+    transparently fall back, so results are always bit-exact."""
+    from pgrtk_tpu.ops import chain as dchain
+
+    hits = _load_hits(test_data_dir, 400)
+    groups = [_as_arr(hits[:64]), _as_arr(hits[64:256]), _as_arr(hits[256:])]
+    refs = [
+        aln_ref.sparse_aln(
+            [((int(r[0]), int(r[1]), int(r[2])),
+              (int(r[3]), int(r[4]), int(r[5]))) for r in g],
+            8, 0.025, None, False,
+        )
+        for g in groups
+    ]
+    outs = dchain.chain_groups(groups, 0.025, max_span=8, lookback=32)
+    for got, ref in zip(outs, refs):
+        _assert_chains_equal(got, ref)
+
+
+def test_chain_groups_oriented_and_gap(test_data_dir):
+    from pgrtk_tpu.ops import chain as dchain
+
+    hits = _load_hits(test_data_dir, 256)
+    arr = _as_arr(hits)
+    for oriented, max_gap, span in (
+        (True, None, 8), (False, 1000, 8), (True, 1000, 4), (False, None, 1)
+    ):
+        ref = aln_ref.sparse_aln(list(hits), span, 0.5, max_gap, oriented)
+        out = dchain.chain_groups(
+            [arr], 0.5, max_span=span, max_gap=max_gap, oriented=oriented,
+            lookback=32,
+        )[0]
+        _assert_chains_equal(out, ref)
+
+
+def test_kernel_exact_when_window_covers_group(test_data_dir):
+    """With W >= group size nothing can be flagged inexact and the raw
+    kernel output itself must be bit-exact (unbounded effective span)."""
     import jax.numpy as jnp
 
     from pgrtk_tpu.ops import chain as dchain
@@ -25,50 +82,80 @@ def test_chain_scores_match_reference_full_lookback(test_data_dir):
     hits = _load_hits(test_data_dir, 256)
     hits_sorted = sorted(hits, key=lambda h: h[0][0])
     ref = aln_ref.sparse_aln(list(hits), 10**9, 0.5, None, False)
-    # reference chain scores: reconstruct per-anchor DP score from v_s is
-    # not exposed; compare chain partitions + total scores instead
-    arr = np.asarray([[*a, *b] for a, b in hits_sorted], dtype=np.uint32)
+    arr = _as_arr(hits_sorted)
     anchors, valid = dchain.pad_groups([arr])
-    scores, prev = dchain.chain_scores_dense(
+    scores, prev, inexact = dchain.chain_scores_dense(
         jnp.asarray(anchors), jnp.asarray(valid), 0.5, -1, False,
-        lookback=256,
+        lookback=256, max_span=10**6,
     )
+    assert not bool(np.asarray(inexact)[0])
     chains = dchain.traceback(
-        np.asarray(scores), np.asarray(prev), valid
+        np.asarray(scores), np.asarray(prev), valid, anchors
     )[0]
-    assert len(chains) == len(ref)
-    for (ds, dtrack), (rs, rtrack) in zip(chains, ref):
-        assert abs(ds - rs) < 1e-3 * max(1.0, abs(rs))
-        got = [
-            (
-                tuple(int(x) for x in anchors[0, i, :3]),
-                tuple(int(x) for x in anchors[0, i, 3:]),
-            )
-            for i in dtrack
-        ]
-        assert got == rtrack
+    _assert_chains_equal(chains, ref)
 
 
-def test_chain_scores_oriented_and_gap(test_data_dir):
-    import jax.numpy as jnp
-
+def test_adversarial_vectors_through_device_kernel():
+    """The hand-derived tie-break vectors (test_adversarial_ties.py) must
+    hold through the device scorer too: nearest-wins ties, distinct-left
+    span clip, duplicate-anchor value semantics."""
     from pgrtk_tpu.ops import chain as dchain
 
-    hits = _load_hits(test_data_dir, 256)
-    hits_sorted = sorted(hits, key=lambda h: h[0][0])
-    arr = np.asarray([[*a, *b] for a, b in hits_sorted], dtype=np.uint32)
-    anchors, valid = dchain.pad_groups([arr])
-    for oriented, max_gap in ((True, -1), (False, 1000), (True, 1000)):
-        ref = aln_ref.sparse_aln(
-            list(hits), 10**9, 0.5, None if max_gap < 0 else max_gap, oriented
-        )
-        scores, prev = dchain.chain_scores_dense(
-            jnp.asarray(anchors), jnp.asarray(valid), 0.5, max_gap, oriented,
-            lookback=256,
-        )
-        chains = dchain.traceback(np.asarray(scores), np.asarray(prev), valid)[0]
-        assert len(chains) == len(ref), (oriented, max_gap)
-        assert all(
-            abs(a[0] - b[0]) < 1e-3 * max(1.0, abs(b[0]))
-            for a, b in zip(chains, ref)
-        )
+    cases = [
+        # (hits, max_span)
+        ([((0, 10, 0), (0, 10, 0)), ((0, 10, 0), (50, 60, 0)),
+          ((20, 30, 0), (35, 45, 0))], 8),
+        ([((0, 10, 0), (0, 10, 0)), ((0, 10, 0), (200, 210, 0)),
+          ((5, 15, 0), (5, 15, 0)), ((20, 30, 0), (20, 30, 0))], 1),
+        ([((0, 10, 0), (0, 10, 0)), ((15, 25, 0), (15, 25, 0)),
+          ((30, 40, 0), (30, 40, 0)), ((30, 40, 0), (100, 110, 0))], 8),
+        # exact duplicate anchors: value-keyed DP (v_s overwrite)
+        ([((0, 10, 0), (0, 10, 0)), ((0, 10, 0), (0, 10, 0)),
+          ((15, 25, 0), (15, 25, 0)), ((15, 25, 0), (15, 25, 0)),
+          ((30, 40, 0), (30, 40, 0))], 8),
+        ([((0, 10, 0), (5, 15, 0)), ((2, 12, 1), (5, 15, 0)),
+          ((0, 10, 0), (5, 15, 0)), ((20, 30, 0), (25, 35, 0)),
+          ((20, 30, 0), (25, 35, 0)), ((40, 50, 1), (45, 55, 0))], 2),
+    ]
+    for hits, span in cases:
+        ref = aln_ref.sparse_aln(list(hits), span, 0.01, None, False)
+        out = dchain.chain_groups(
+            [_as_arr(hits)], 0.01, max_span=span, lookback=32
+        )[0]
+        _assert_chains_equal(out, ref)
+
+
+def test_randomized_bit_parity_with_duplicates():
+    """Randomized stress: clustered anchors with many repeated left
+    coordinates and exact duplicates, all four option combinations."""
+    from pgrtk_tpu.ops import chain as dchain
+
+    rng = np.random.RandomState(7)
+    for trial in range(8):
+        n = int(rng.randint(8, 120))
+        # trials 6-7 use large coordinates: catches FMA contraction in the
+        # score (1-ulp drift at |s| ~ 1e2-1e3) and f32 coordinate rounding
+        span_lo = 0 if trial < 6 else 1 << 24
+        base = span_lo + rng.randint(0, 500 if trial < 6 else 40_000, size=n)
+        hits = []
+        for b in base:
+            qb = int(b)
+            qe = qb + int(rng.randint(5, 30))
+            qo = int(rng.randint(0, 2))
+            tb = span_lo + int(rng.randint(0, 500 if trial < 6 else 40_000))
+            te = tb + int(rng.randint(5, 30))
+            to = int(rng.randint(0, 2))
+            hits.append(((qb, qe, qo), (tb, te, to)))
+            if rng.rand() < 0.3:  # exact duplicate
+                hits.append(((qb, qe, qo), (tb, te, to)))
+            if rng.rand() < 0.3:  # same left, different right
+                hits.append(((qb, qe, qo), (te, te + 11, to)))
+        oriented = bool(trial % 2)
+        max_gap = None if trial < 3 else 120
+        span = [1, 2, 8][trial % 3]
+        ref = aln_ref.sparse_aln(list(hits), span, 0.025, max_gap, oriented)
+        out = dchain.chain_groups(
+            [_as_arr(hits)], 0.025, max_span=span, max_gap=max_gap,
+            oriented=oriented, lookback=32,
+        )[0]
+        _assert_chains_equal(out, ref)
