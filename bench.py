@@ -1,16 +1,25 @@
-"""Benchmark: SHIMMER indexing throughput on one chip.
+"""Benchmark: SHIMMER index + query throughput on one chip.
 
-Runs the full single-chip device indexing pipeline — batched mode-2
-SHIMMER sketch (two-level scan register walk + Wang hashing) -> compaction
--> min_span filter -> canonical pair construction -> sorted pair table —
-on synthetic sequence data, timed as N chained iterations inside one jit
-(the hosting tunnel makes per-dispatch host sync unreliable/expensive).
+Two timed device pipelines over the same synthetic batch (B x L bases),
+each as N chained data-dependent iterations inside one jit with a scalar
+sync (the hosting tunnel makes per-dispatch host sync unreliable and
+device->host transfers go over the network):
 
+  index: batched mode-2 SHIMMER sketch (two-level scan register walk +
+         Wang hashing) -> sort-free compaction -> min_span filter ->
+         canonical pair construction -> sorted pair table
+  query: batched sketch -> compaction -> min_span -> canonical pairs ->
+         bucketed probe of every pair against a >=4M-key index table
+         (ops/probe.py — one aligned row fetch + vector compare per key)
+
+Headline metric (driver BASELINE.json: "Mseq-bases/s SHIMMER index+query
+per chip"): total bases pushed through BOTH stages / total time.
 Baseline: the reference pgr-mdb builds the HPRC year-1 index (~300 Gbp)
 in 30-40 min on a CPU server (reference: pgr-tk/src/lib.rs:40-42) —
-~143 Mbases/s.  vs_baseline = ours / 143e6.
+~143 Mbases/s for the INDEX stage alone; its query stage is not faster
+per base, so vs_baseline = ours_combined / 143e6 is conservative.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import sys
@@ -26,6 +35,7 @@ os.environ.setdefault(
 )
 
 BASELINE_BASES_PER_S = 143e6
+N_INDEX_KEYS = 4_194_304  # >=4M-key probe table for the query stage
 
 
 def main():
@@ -34,6 +44,7 @@ def main():
     import jax.numpy as jnp
 
     from pgrtk_tpu.ops import pairs as pairs_ops
+    from pgrtk_tpu.ops import probe as probe_ops
     from pgrtk_tpu.ops import sketch as sketch_ops
 
     B, L = 8, 1_048_576
@@ -43,7 +54,7 @@ def main():
     lens = jnp.full((B,), L, dtype=jnp.int32)
     rids = jnp.arange(B, dtype=jnp.uint32)
 
-    def index_once(seqs_u8):
+    def sketch_pairs(seqs_u8):
         out = sketch_ops.sketch_mode2_dense(
             seqs_u8, lens, rids, 56, 4, 64, CHUNK
         )
@@ -51,44 +62,77 @@ def main():
             out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, 64)
-        pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
-        table = pairs_ops.sort_pairs(pr, rids)
+        return pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
+
+    def index_once(seqs_u8):
+        table = pairs_ops.sort_pairs(sketch_pairs(seqs_u8), rids)
         # fold the table into a scalar so iterations chain (data dependency
         # prevents overlap across timed iterations)
-        acc = (
+        return (
             table["valid"].sum().astype(jnp.uint32)
             + (table["k0_lo"].sum() & jnp.uint32(3))
         )
-        return acc
 
-    @jax.jit
-    def chain(seqs_u8, n):
-        def body(_, carry):
-            s, acc = carry
-            a = index_once(s)
-            pert = (a & jnp.uint32(3)).astype(jnp.uint8)
-            return ((s + pert) % jnp.uint8(4), acc + a)
+    # ---- synthetic >=4M-key probe table (uniform 56-bit pair hashes,
+    # key-sorted, exactly the production layout) -------------------------
+    krng = np.random.default_rng(1)
+    keys = krng.integers(
+        0, 1 << 56, size=(N_INDEX_KEYS, 2), dtype=np.uint64
+    )
+    keys = keys[np.argsort(keys[:, 0], kind="stable")]
+    t = probe_ops.build_probe_table(keys)
+    table = dict(
+        bits=t["bits"],
+        planes=[jnp.asarray(t["planes"][i]) for i in range(4)],
+        row=jnp.asarray(t["row"]),
+    )
 
-        return jax.lax.fori_loop(0, n, body, (seqs_u8, jnp.uint32(0)))
+    def query_once(seqs_u8):
+        pr = sketch_pairs(seqs_u8)
+        q_h0 = pr["k0_hi"].reshape(-1)
+        q_l0 = pr["k0_lo"].reshape(-1)
+        q_h1 = pr["k1_hi"].reshape(-1)
+        q_l1 = pr["k1_lo"].reshape(-1)
+        found, row = probe_ops.probe_keys(table, q_h0, q_l0, q_h1, q_l1)
+        hit = found & pr["pair_valid"].reshape(-1)
+        return (
+            hit.sum().astype(jnp.uint32)
+            + (jnp.where(hit, row, 0).sum().astype(jnp.uint32) & jnp.uint32(3))
+        )
 
-    # warm-up / compile
-    _, acc = chain(arr, 1)
-    acc = int(acc)
+    def timed_chain(once):
+        @jax.jit
+        def chain(seqs_u8, n):
+            def body(_, carry):
+                s, acc = carry
+                a = once(s)
+                pert = (a & jnp.uint32(3)).astype(jnp.uint8)
+                return ((s + pert) % jnp.uint8(4), acc + a)
 
-    N = 20
-    t0 = time.time()
-    _, acc = chain(arr, N)
-    acc = int(acc)  # forces full sync (4-byte transfer)
-    dt = (time.time() - t0) / N
+            return jax.lax.fori_loop(0, n, body, (seqs_u8, jnp.uint32(0)))
 
-    bases_per_s = B * L / dt
+        int(chain(arr, 1)[1])  # warm-up / compile
+        N = 20
+        t0 = time.time()
+        acc = int(chain(arr, N)[1])  # scalar sync (4-byte transfer)
+        dt = (time.time() - t0) / N
+        del acc
+        return B * L / dt
+
+    index_bps = timed_chain(index_once)
+    query_bps = timed_chain(query_once)
+    combined = 2 * B * L / (B * L / index_bps + B * L / query_bps)
+
     print(
         json.dumps(
             {
-                "metric": "shimmer_index_throughput",
-                "value": round(bases_per_s / 1e6, 1),
+                "metric": "shimmer_index_query_throughput",
+                "value": round(combined / 1e6, 1),
                 "unit": "Mbases/s/chip",
-                "vs_baseline": round(bases_per_s / BASELINE_BASES_PER_S, 2),
+                "vs_baseline": round(combined / BASELINE_BASES_PER_S, 2),
+                "index_mbases_s": round(index_bps / 1e6, 1),
+                "query_mbases_s": round(query_bps / 1e6, 1),
+                "query_index_keys": N_INDEX_KEYS,
             }
         )
     )

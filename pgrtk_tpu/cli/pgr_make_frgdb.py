@@ -12,6 +12,9 @@ from ..api import SeqIndexDB
 
 
 def main(argv=None):
+    from ..utils.dispatch import init_cli_logging
+
+    init_cli_logging()
     p = argparse.ArgumentParser(
         prog="pgr-make-frgdb",
         description="Create PGR-TK fragment minimizer database with frg "

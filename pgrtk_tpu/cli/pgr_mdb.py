@@ -14,6 +14,9 @@ from ..core.spec import ShmmrSpec
 
 
 def main(argv=None):
+    from ..utils.dispatch import init_cli_logging
+
+    init_cli_logging()
     p = argparse.ArgumentParser(
         prog="pgr-mdb",
         description="Create pgr minimizer database with PGA archive backend",

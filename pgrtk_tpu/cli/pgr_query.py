@@ -99,8 +99,22 @@ def run_query(
     only_summary: bool = False,
     bed_summary: bool = False,
     nthreads: int = 0,
-    batch_device: bool = False,
+    batch_device=None,
 ):
+    # batch_device: True = force device, False = force host, None = auto
+    # (device when an accelerator is live, the batch is large enough, and
+    # the db has a columnar FRG/PGA backend — utils/dispatch.py)
+    if batch_device is None:
+        from ..utils import dispatch
+
+        has_columnar = (
+            getattr(db, "frg_db", None) is not None
+            or getattr(db, "agc_db", None) is not None
+        )
+        total = sum(len(rec.seq) for rec in query_seqs)
+        batch_device = has_columnar and dispatch.use_device(
+            total, what="query"
+        )
     hps_batch = None
     if batch_device:
         # device path: one TPU dispatch sketches + probes ALL queries
@@ -183,6 +197,9 @@ def run_query(
 
 
 def main(argv=None):
+    from ..utils.dispatch import init_cli_logging
+
+    init_cli_logging()
     p = argparse.ArgumentParser(
         prog="pgr-query",
         description="Query a PGR-TK pangenome sequence database "
@@ -208,9 +225,15 @@ def main(argv=None):
     p.add_argument("--bed-summary", action="store_true")
     p.add_argument("--number-of-thread", type=int, default=0)
     p.add_argument(
-        "--batch-device", action="store_true",
-        help="sketch + index-probe the whole query batch on the TPU "
-        "(FRG/AGC backends)",
+        "--batch-device", action="store_true", default=None,
+        help="force the device path: sketch + index-probe + chain the "
+        "whole query batch on the TPU (FRG/AGC backends); by default "
+        "the device is selected automatically when one is present and "
+        "the batch is large enough",
+    )
+    p.add_argument(
+        "--host", action="store_false", dest="batch_device",
+        help="force the host (native C++) query path",
     )
     args = p.parse_args(argv)
 

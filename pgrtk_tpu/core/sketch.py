@@ -65,11 +65,16 @@ def _batch_device(seqs, spec):
 def batch_sequence_to_shmmrs(
     seqs: Sequence[Tuple[int, bytes]], spec: ShmmrSpec, padding: bool = False
 ) -> List[List[Tuple[int, int]]]:
-    """Sketch many (rid, seq) pairs; parallel across sequences natively,
-    or batched on the TPU with PGRTK_SKETCH_BACKEND=device
-    (the reference parallelizes the same way: seq_db.rs:456-469)."""
-    if _FORCE == "device" and not padding and seqs:
-        return _batch_device(list(seqs), spec)
+    """Sketch many (rid, seq) pairs; batched on the TPU when one is live
+    and the batch is large enough (utils/dispatch.py), else parallel
+    across sequences natively (the reference parallelizes the same way:
+    seq_db.rs:456-469).  PGRTK_SKETCH_BACKEND forces a backend."""
+    if not padding and seqs:
+        from ..utils import dispatch
+
+        total = sum(len(s) for _rid, s in seqs)
+        if dispatch.use_device(total, forced=_FORCE, what="sketch"):
+            return _batch_device(list(seqs), spec)
     nat = _native()
     if nat is not None:
         return nat.batch_sequence_to_shmmrs(seqs, spec, padding)

@@ -138,8 +138,8 @@ def sketch_mode1_dense(
 
     Returns dict of (B, L) planes: x_hi, x_lo, meta(bit0=strand),
     emitted (bool, exact for positions <= t0 = len-w+k-1), plus
-    palindrome_seen (bool scalar: caller must fall back — the emission
-    stream is no longer positionally dense).
+    palindrome_seen ((B,) bool: caller must fall back for those
+    sequences — their emission stream is no longer positionally dense).
     """
     B, L = seqs_u8.shape
     code = sketch_ops.encode_bases(seqs_u8)
@@ -152,7 +152,7 @@ def sketch_mode1_dense(
     # the emission stream non-dense; meta bit2 carries the flag
     palindrome = (meta & 4) != 0
     have = have & ~palindrome
-    palindrome_seen = (palindrome & in_seq & (pos >= k)).any()
+    palindrome_seen = (palindrome & in_seq & (pos >= k)).any(axis=1)
 
     Wh, Wl, P = _trailing_window_min(x[0], x[1], have, w)
 
@@ -219,10 +219,7 @@ def sketch_mode1(
     out = sketch_mode1_dense(
         jnp.asarray(arr), jnp.asarray(lens), k, w, chunk
     )
-    if bool(out["palindrome_seen"]):
-        return native.batch_sequence_to_shmmrs(
-            [(rid, s) for rid, s in zip(rids, seqs)], spec
-        )
+    palin = np.asarray(out["palindrome_seen"])
     x = (np.asarray(out["x_hi"], np.uint64) << np.uint64(32)) | np.asarray(
         out["x_lo"], np.uint64
     )
@@ -233,6 +230,11 @@ def sketch_mode1(
     for i, seq in enumerate(seqs):
         L = len(seq)
         rid = int(rids[i])
+        if palin[i]:
+            # palindromic k-mer: THIS sequence's emission stream is not
+            # positionally dense — scalar fallback for it alone
+            results.append(native.sequence_to_shmmrs(rid, seq, spec))
+            continue
         xs = x[i]
         ys = (
             (np.uint64(rid) << np.uint64(32))
