@@ -248,6 +248,66 @@ def _searchsorted_pairkey(t_h0, t_l0, t_h1, t_l1, q_h0, q_l0, q_h1, q_l1):
     return found
 
 
+def probe_bits_for(shard_capacity: int, avg_per_bucket: int = 64) -> int:
+    """Bucket-index width for a per-shard probe table (ops/probe.py
+    geometry: ~avg_per_bucket keys per W=128-wide bucket row)."""
+    return max(
+        1, int(np.ceil(np.log2(max(2, shard_capacity / avg_per_bucket))))
+    )
+
+
+PROBE_W = 128  # probe bucket row width (one 128-lane tile)
+
+
+def _shard_probe_planes(shard, bits: int):
+    """Build the bucketed probe planes for ONE shard's pair table, on
+    device (jit/shard_map-safe — the host build in ops/probe.py sizes W
+    dynamically; here W is the static 128 and overflow is flagged).
+
+    Buckets come from the TOP bits of hash0's LOW u32 plane (k0_lo),
+    which are uniform and independent of the hash-range sharding (that
+    uses the high plane), so bucket geometry is identical on every shard
+    and for queries regardless of n_devices.
+
+    Returns (planes[4] (2^bits, W) u32, row (2^bits, W) i32,
+    probe_overflow bool scalar).
+    """
+    nb = 1 << bits
+    k0h, k0l = shard["k0_hi"], shard["k0_lo"]
+    k1h, k1l = shard["k1_hi"], shard["k1_lo"]
+    valid = shard["valid"]
+    n = k0h.shape[0]
+    bucket = (k0l >> (32 - bits)).astype(jnp.int32)
+    bucket = jnp.where(valid, bucket, nb)  # invalid -> out of range
+    # within-bucket column = rank among same-bucket entries: sort entry
+    # ids by bucket, then col = position - bucket run start
+    b_sorted, idx_sorted = jax.lax.sort(
+        (bucket, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    starts = jnp.searchsorted(b_sorted, jnp.arange(nb, dtype=jnp.int32))
+    col = jnp.arange(n, dtype=jnp.int32) - jnp.take(
+        starts, jnp.clip(b_sorted, 0, nb - 1)
+    )
+    probe_overflow = ((col >= PROBE_W) & (b_sorted < nb)).any()
+    # scatter each entry into its (bucket, col) slot; out-of-range
+    # (invalid or overflowing) targets drop
+    target = jnp.where(
+        (b_sorted < nb) & (col < PROBE_W),
+        b_sorted * PROBE_W + col,
+        nb * PROBE_W,
+    )
+    planes = []
+    for plane in (k0h, k0l, k1h, k1l):
+        flat = jnp.full((nb * PROBE_W,), U32(0xFFFFFFFF))
+        flat = flat.at[target].set(
+            jnp.take(plane, idx_sorted), mode="drop"
+        )
+        planes.append(flat.reshape(nb, PROBE_W))
+    rflat = jnp.full((nb * PROBE_W,), -1, dtype=jnp.int32)
+    rflat = rflat.at[target].set(idx_sorted, mode="drop")
+    return planes, rflat.reshape(nb, PROBE_W), probe_overflow
+
+
 def sharded_index_v2_step(
     mesh: Mesh,
     shard_capacity: int,
@@ -255,25 +315,31 @@ def sharded_index_v2_step(
     r: int = 4,
     min_span: int = 64,
     chunk: int = 512,
+    route_capacity: Optional[int] = None,
 ):
     """Memory-scalable index build (sharding v2, docs/ROADMAP.md):
-    each device keeps only ITS hash range of the global pair table.
+    each device keeps only ITS hash range of the global pair table, and
+    NO device ever materializes the full table — pairs are routed to
+    their range owner with one all_to_all.
 
-    Every device sketches/pairs its local sequences, the per-shard
-    tables are all_gathered and key-sorted once (transiently full-size,
-    as in v1), and each device then dynamic-slices the contiguous run
-    of keys whose hash0 falls in its 1/n_devices range — hashes are
-    uniform, so ranges are balanced; `shard_capacity` (entries per
-    device) needs only ~2x slack.  Steady-state index memory is
-    shard_capacity per device instead of the full table.
+    Per device: sketch/pair/key-sort the LOCAL sequences, cut the sorted
+    local table into n_devices contiguous hash-range runs (hash0's top
+    bits are uniform Wang-hash bits, so runs are balanced; each run is
+    one dynamic_slice — no gather), all_to_all the (n_dev, route_cap)
+    buffers so every device receives exactly its range, then one local
+    sort of the received ~2/n_dev-of-local-size buffer builds the shard
+    table, and a bucketed probe table (ops/probe.py geometry) is built
+    over it on device.  Peak memory is O(local + shard), not O(table).
 
     Returns dict(shard=<per-device table planes, sharded along axis>,
-    n_pairs, shard_overflow).
+    probe=dict(planes, row) sharded likewise, n_pairs, shard_overflow,
+    route_overflow, probe_overflow).
     """
     from jax import shard_map
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
+    bits = probe_bits_for(shard_capacity)
 
     def local_step(seqs_u8, lengths, rids):
         out = sketch_ops.sketch_mode2_dense(
@@ -285,56 +351,99 @@ def sharded_index_v2_step(
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         local = pairs_ops.sort_pairs(pr, rids)
-        gathered = {
-            kk: jax.lax.all_gather(v, axis, tiled=True)
-            for kk, v in local.items()
-        }
-        operands = (
-            gathered["k0_hi"], gathered["k0_lo"],
-            gathered["k1_hi"], gathered["k1_lo"],
-            gathered["sid"], gathered["bgn"], gathered["end"],
-            gathered["orientation"], gathered["valid"].astype(U32),
+        C = local["k0_hi"].shape[0]
+        route_cap = route_capacity or min(
+            C, max(128, -(-2 * C // n_dev))
         )
-        k0h, k0l, k1h, k1l, s, b, e, o, va = jax.lax.sort(
-            operands, num_keys=6
-        )
-        # my contiguous hash range: hash0 in [i, i+1) * 2^56 / n_dev.
-        # k0_hi holds hash0 >> 32 (24 significant bits) and the table is
-        # key-sorted, so range bounds are single-plane searchsorted.
-        i = jax.lax.axis_index(axis).astype(jnp.uint32)
+        n_valid = local["valid"].sum().astype(jnp.int32)
+
+        # destination runs: hash0 in [d, d+1) * 2^56 / n_dev; k0_hi holds
+        # hash0 >> 32 (24 significant bits; invalid slots are 0xFFFFFFFF
+        # and sort past every range bound)
         per = jnp.uint32((1 << 24) // n_dev)
-        lo_key = i * per
-        hi_key = jnp.where(
-            i == n_dev - 1, jnp.uint32(0xFFFFFFFF), (i + 1) * per
+        bounds = (jnp.arange(1, n_dev, dtype=jnp.uint32) * per)
+        offs = jnp.searchsorted(local["k0_hi"], bounds).astype(jnp.int32)
+        off_full = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), offs, n_valid[None]]
         )
-        lo = jnp.searchsorted(k0h, lo_key, side="left")
-        hi = jnp.searchsorted(k0h, hi_key, side="left")
-        n_mine = hi - lo
+        cnt = off_full[1:] - off_full[:-1]
+        route_overflow = (cnt > route_cap).any()
+
+        fields = (
+            "k0_hi", "k0_lo", "k1_hi", "k1_lo",
+            "sid", "bgn", "end", "orientation",
+        )
+        jrow = jnp.arange(route_cap, dtype=jnp.int32)
+        send = {kk: [] for kk in fields}
+        send_valid = []
+        for d in range(n_dev):  # static: n_dev contiguous slices
+            start = jnp.clip(off_full[d], 0, max(0, C - route_cap))
+            gidx = start + jrow
+            mask = (gidx >= off_full[d]) & (gidx < off_full[d + 1])
+            for kk in fields:
+                v = jax.lax.dynamic_slice(local[kk], (start,), (route_cap,))
+                if kk in ("k0_hi", "k0_lo", "k1_hi", "k1_lo"):
+                    v = jnp.where(mask, v, U32(0xFFFFFFFF))
+                send[kk].append(v)
+            send_valid.append(mask)
+        buf = {kk: jnp.stack(send[kk]) for kk in fields}
+        buf["valid"] = jnp.stack(send_valid)
+
+        # one all_to_all: device d receives every range-d run
+        recv = {
+            kk: jax.lax.all_to_all(v, axis, 0, 0).reshape(-1)
+            for kk, v in buf.items()
+        }
+        n_mine = recv["valid"].sum()
         shard_overflow = jax.lax.psum(
             (n_mine > shard_capacity).astype(jnp.int32), axis
         ) > 0
-        start = jnp.clip(
-            lo, 0, max(0, k0h.shape[0] - shard_capacity)
-        ).astype(jnp.int32)
 
-        def slc(v):
-            return jax.lax.dynamic_slice(v, (start,), (shard_capacity,))
-
-        # membership from the sliced keys themselves (the slice start is
-        # clamped, so slot 0 is not necessarily the range start)
-        sk0h = slc(k0h)
-        in_range = (sk0h >= lo_key) & (
-            (sk0h < hi_key) | (i == n_dev - 1)
+        # local sort of the received buffer (invalid keys 0xFFFFFFFF sort
+        # last), padded/truncated to the static shard_capacity
+        rsize = n_dev * route_cap
+        if rsize < shard_capacity:
+            pad = shard_capacity - rsize
+            for kk in ("k0_hi", "k0_lo", "k1_hi", "k1_lo"):
+                recv[kk] = jnp.concatenate(
+                    [recv[kk], jnp.full((pad,), U32(0xFFFFFFFF))]
+                )
+            for kk in ("sid", "bgn", "end", "orientation"):
+                recv[kk] = jnp.concatenate(
+                    [recv[kk], jnp.zeros((pad,), recv[kk].dtype)]
+                )
+            recv["valid"] = jnp.concatenate(
+                [recv["valid"], jnp.zeros((pad,), jnp.bool_)]
+            )
+        k0h, k0l, k1h, k1l, s, b, e, o, va = jax.lax.sort(
+            (
+                recv["k0_hi"], recv["k0_lo"], recv["k1_hi"], recv["k1_lo"],
+                recv["sid"], recv["bgn"], recv["end"],
+                recv["orientation"], recv["valid"].astype(U32),
+            ),
+            num_keys=6,
         )
         shard = dict(
-            valid=slc(va).astype(bool) & in_range,
-            k0_hi=slc(k0h), k0_lo=slc(k0l),
-            k1_hi=slc(k1h), k1_lo=slc(k1l),
-            sid=slc(s), bgn=slc(b), end=slc(e), orientation=slc(o),
+            valid=va[:shard_capacity].astype(bool),
+            k0_hi=k0h[:shard_capacity], k0_lo=k0l[:shard_capacity],
+            k1_hi=k1h[:shard_capacity], k1_lo=k1l[:shard_capacity],
+            sid=s[:shard_capacity], bgn=b[:shard_capacity],
+            end=e[:shard_capacity], orientation=o[:shard_capacity],
         )
         n_pairs = jax.lax.psum(shard["valid"].sum(), axis)
+        planes, row, probe_overflow = _shard_probe_planes(shard, bits)
+        probe_overflow = jax.lax.psum(
+            probe_overflow.astype(jnp.int32), axis
+        ) > 0
         return dict(
-            shard=shard, n_pairs=n_pairs, shard_overflow=shard_overflow
+            shard=shard,
+            probe=dict(planes=planes, row=row),
+            n_pairs=n_pairs,
+            shard_overflow=shard_overflow,
+            route_overflow=jax.lax.psum(
+                route_overflow.astype(jnp.int32), axis
+            ) > 0,
+            probe_overflow=probe_overflow,
         )
 
     sharded = shard_map(
@@ -346,8 +455,11 @@ def sharded_index_v2_step(
                 "valid", "k0_hi", "k0_lo", "k1_hi", "k1_lo", "sid",
                 "bgn", "end", "orientation",
             )},
+            probe=dict(planes=[P(axis)] * 4, row=P(axis)),
             n_pairs=P(),
             shard_overflow=P(),
+            route_overflow=P(),
+            probe_overflow=P(),
         ),
         check_vma=False,
     )
@@ -364,17 +476,21 @@ def sharded_query_v2_step(
 ):
     """Query fan-out against the hash-range-sharded v2 index: queries
     are sketched where they live, query KEYS are all_gathered (keys are
-    tiny next to sequences), every device probes its own shard with the
-    binary search, and per-device hit masks OR-combine with psum.
+    tiny next to sequences), every device probes its own shard's
+    bucketed probe planes (one aligned row fetch + 128-wide compare per
+    key — the repo's measured ~20x win over the binary search), and
+    per-device hit masks OR-combine with psum.
 
-    Takes (seqs_u8, lengths, rids, <9 sharded shard planes>) and
+    Takes (seqs_u8, lengths, rids, p0, p1, p2, p3) with p* the per-shard
+    probe planes from sharded_index_v2_step (sharded along the axis) and
     returns (n_hits, found mask over the gathered query pair slots).
     """
     from jax import shard_map
 
     axis = mesh.axis_names[0]
+    bits = probe_bits_for(shard_capacity)
 
-    def local_step(seqs_u8, lengths, rids, va, k0h, k0l, k1h, k1l):
+    def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3):
         out = sketch_ops.sketch_mode2_dense(
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
@@ -383,7 +499,6 @@ def sharded_query_v2_step(
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
-        B, C = pr["k0_hi"].shape
 
         def gq(v):
             return jax.lax.all_gather(v.reshape(-1), axis, tiled=True)
@@ -391,11 +506,15 @@ def sharded_query_v2_step(
         q0h, q0l, q1h, q1l = (gq(pr[kk]) for kk in
                               ("k0_hi", "k0_lo", "k1_hi", "k1_lo"))
         q_valid = gq(pr["pair_valid"])
-        # invalid shard slots carry 0xFFFFFFFF keys (sort_pairs upstream),
-        # so the table stays sorted and the search needs no masking
-        hit = _searchsorted_pairkey(
-            k0h, k0l, k1h, k1l, q0h, q0l, q1h, q1l
-        )
+        # bucket geometry matches _shard_probe_planes: top `bits` of the
+        # hash0 LOW plane, independent of the range sharding
+        bucket = (q0l >> (32 - bits)).astype(jnp.int32)
+        hit = (
+            (jnp.take(p0, bucket, axis=0) == q0h[:, None])
+            & (jnp.take(p1, bucket, axis=0) == q0l[:, None])
+            & (jnp.take(p2, bucket, axis=0) == q1h[:, None])
+            & (jnp.take(p3, bucket, axis=0) == q1l[:, None])
+        ).any(axis=1)
         found = jax.lax.psum(
             (hit & q_valid).astype(jnp.int32), axis
         ) > 0
@@ -407,7 +526,7 @@ def sharded_query_v2_step(
         mesh=mesh,
         in_specs=(
             P(axis, None), P(axis), P(axis),
-            P(axis), P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(), P()),
         check_vma=False,

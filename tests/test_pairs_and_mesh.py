@@ -162,6 +162,8 @@ def test_sharded_index_v2_matches_v1():
     cap = max(128, 2 * len(keys1) // n)
     v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(sd, ld, rd)
     assert not bool(v2["shard_overflow"])
+    assert not bool(v2["route_overflow"])
+    assert not bool(v2["probe_overflow"])
     assert int(v2["n_pairs"]) == len(keys1)
     sh = v2["shard"]
     valid2 = np.asarray(sh["valid"])
@@ -177,8 +179,8 @@ def test_sharded_index_v2_matches_v1():
 
     qstep = pmesh.sharded_query_v2_step(mesh, cap, chunk=512)
     planes = tuple(
-        jax.device_put(sh[kk], NamedSharding(mesh, P(axis)))
-        for kk in ("valid", "k0_hi", "k0_lo", "k1_hi", "k1_lo")
+        jax.device_put(p, NamedSharding(mesh, P(axis)))
+        for p in v2["probe"]["planes"]
     )
     n_hits, _found = qstep(sd, ld, rd, *planes)
     # self-query: every indexed pair key must be found
