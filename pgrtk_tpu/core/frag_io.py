@@ -48,7 +48,7 @@ class FragFileStorage:
             self.index_starts,
             self.index_counts,
             self.index_sigs,
-        ) = mdb.read_mdb_columnar(prefix + ".mdb")
+        ) = mdb.read_mdb_auto(prefix + ".mdb")
         self.seq_index: Dict[Tuple[str, Optional[str]], Tuple[int, int]] = {}
         self.seq_info: Dict[int, Tuple[str, Optional[str], int]] = {}
         for sid, slen, name, source in mdb.read_midx(prefix + ".midx"):

@@ -121,6 +121,113 @@ def read_mdb_columnar(filepath: str):
     return spec, keys, starts, counts, sigs
 
 
+class LazySigs:
+    """On-demand posting fetch over an mmap'd .mdb file.
+
+    Quacks like the `sigs` array of read_mdb_columnar for the access
+    pattern the query path uses — slicing one key's block `sigs[s:s+c]`
+    — but reads the 17-byte records through the file mapping instead of
+    a materialized array, so resident memory stays bounded by the pages
+    actually touched (reference lazy load: seq_db.rs:1409-1504).
+    """
+
+    def __init__(self, mm, row_starts, byte_starts, counts):
+        self._mm = mm
+        self._row_starts = row_starts    # virtual row offset per key
+        self._byte_starts = byte_starts  # file offset per key's block
+        self._counts = counts
+
+    def __len__(self):
+        if len(self._counts) == 0:
+            return 0
+        return int(self._row_starts[-1] + self._counts[-1])
+
+    def __getitem__(self, sl):
+        if not isinstance(sl, slice):
+            sl = slice(sl, sl + 1)
+        s = 0 if sl.start is None else int(sl.start)
+        e = len(self) if sl.stop is None else int(sl.stop)
+        if e <= s:
+            return np.empty(0, dtype=SIG_DTYPE)
+        i = int(np.searchsorted(self._row_starts, s, side="right")) - 1
+        within = s - int(self._row_starts[i])
+        if e - s > int(self._counts[i]) - within:
+            raise IndexError(
+                "LazySigs slices cannot cross key-block boundaries"
+            )
+        off = int(self._byte_starts[i]) + 17 * within
+        n = e - s
+        return np.frombuffer(
+            self._mm[off : off + 17 * n].tobytes(), dtype=SIG_DTYPE
+        )
+
+
+def _scan_python(filepath: str):
+    """Header walk without loading postings (fallback when the native
+    pgr_mdb_scan is unavailable)."""
+    with open(filepath, "rb") as f:
+        data = f.read()
+    buf = memoryview(data)
+    spec, nkeys, cursor = _read_header(buf)
+    keys = np.empty((nkeys, 2), dtype=np.uint64)
+    starts = np.empty(nkeys, dtype=np.int64)
+    counts = np.empty(nkeys, dtype=np.int64)
+    for i in range(nkeys):
+        k0, k1, n = struct.unpack_from("<3Q", buf, cursor)
+        cursor += 24
+        keys[i, 0] = k0
+        keys[i, 1] = k1
+        starts[i] = cursor
+        counts[i] = n
+        cursor += 17 * n
+    return spec, keys, starts, counts
+
+
+def read_mdb_lazy(filepath: str):
+    """Offsets-only load: same contract as read_mdb_columnar —
+    (spec, keys, starts, counts, sigs) with keys sorted and starts as
+    row offsets — but `sigs` is a LazySigs view over the mmap'd file,
+    so only key metadata (32 B/key) is resident; posting blocks page in
+    on demand (reference: seq_db.rs:1409-1504)."""
+    try:
+        from ..native import api as native
+
+        if native.available():
+            spec, keys, byte_starts, counts = native.mdb_scan(filepath)
+        else:
+            raise RuntimeError
+    except (RuntimeError, OSError):
+        spec, keys, byte_starts, counts = _scan_python(filepath)
+    order = np.lexsort((keys[:, 1], keys[:, 0]))
+    keys = keys[order]
+    byte_starts = byte_starts[order]
+    counts = counts[order]
+    row_starts = np.zeros(len(counts), dtype=np.int64)
+    if len(counts):
+        np.cumsum(counts[:-1], out=row_starts[1:])
+    mm = np.memmap(filepath, dtype=np.uint8, mode="r")
+    sigs = LazySigs(mm, row_starts, byte_starts, counts)
+    return spec, keys, row_starts, counts, sigs
+
+
+LAZY_THRESHOLD_BYTES = 256 << 20
+
+
+def read_mdb_auto(filepath: str):
+    """Columnar load for small files, lazy mmap load for big ones
+    (PGRTK_MDB_LAZY=1/0 forces)."""
+    import os
+
+    force = os.environ.get("PGRTK_MDB_LAZY")
+    if force == "1":
+        lazy = True
+    elif force == "0":
+        lazy = False
+    else:
+        lazy = os.path.getsize(filepath) >= LAZY_THRESHOLD_BYTES
+    return read_mdb_lazy(filepath) if lazy else read_mdb_columnar(filepath)
+
+
 def write_midx(seqs, filepath: str) -> None:
     """seqs: iterable of (id, len, name, source|None)."""
     with open(filepath, "w") as f:

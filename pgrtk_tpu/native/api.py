@@ -136,6 +136,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pgr_mdb_scan.restype = ctypes.c_int
+        lib.pgr_mdb_scan.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
         _lib = lib
         return _lib
 
@@ -360,3 +369,44 @@ def sparse_aln(
         track = blob[p : p + 6 * m].reshape(m, 6).copy(); p += 6 * m
         chains.append((score, track))
     return chains
+
+
+def mdb_scan(path: str):
+    """Offsets-only walk of a .mdb file (reference lazy load,
+    seq_db.rs:1409-1504): returns (spec, keys (n,2) u64, byte_starts
+    (n,) i64, counts (n,) i64) without touching posting bytes."""
+    from ..core.spec import ShmmrSpec
+
+    lib = _load()
+    header = (ctypes.c_uint32 * 5)()
+    keys_p = ctypes.POINTER(ctypes.c_uint64)()
+    starts_p = ctypes.POINTER(ctypes.c_int64)()
+    counts_p = ctypes.POINTER(ctypes.c_int64)()
+    nkeys = ctypes.c_uint64()
+    rc = lib.pgr_mdb_scan(
+        path.encode(),
+        header,
+        ctypes.byref(keys_p),
+        ctypes.byref(starts_p),
+        ctypes.byref(counts_p),
+        ctypes.byref(nkeys),
+    )
+    if rc != 0:
+        raise IOError(f"pgr_mdb_scan({path}) failed with {rc}")
+    n = nkeys.value
+    if n:
+        keys = np.ctypeslib.as_array(keys_p, shape=(n, 2)).copy()
+        starts = np.ctypeslib.as_array(starts_p, shape=(n,)).copy()
+        counts = np.ctypeslib.as_array(counts_p, shape=(n,)).copy()
+    else:
+        keys = np.empty((0, 2), dtype=np.uint64)
+        starts = np.empty(0, dtype=np.int64)
+        counts = np.empty(0, dtype=np.int64)
+    lib.pgr_free(keys_p)
+    lib.pgr_free(starts_p)
+    lib.pgr_free(counts_p)
+    spec = ShmmrSpec(
+        w=header[0], k=header[1], r=header[2], min_span=header[3],
+        sketch=(header[4] & 1) == 1,
+    )
+    return spec, keys, starts, counts
