@@ -109,12 +109,16 @@ def main():
                 pert = (a & jnp.uint32(3)).astype(jnp.uint8)
                 return ((s + pert) % jnp.uint8(4), acc + a)
 
-            return jax.lax.fori_loop(0, n, body, (seqs_u8, jnp.uint32(0)))
+            return jax.lax.fori_loop(
+                jnp.int32(0), n, body, (seqs_u8, jnp.uint32(0))
+            )
 
-        int(chain(arr, 1)[1])  # warm-up / compile
+        # n passed as a device scalar: ONE compile serves warm-up and the
+        # timed run (remote compiles through the tunnel are minutes)
+        int(chain(arr, jnp.int32(1))[1])  # warm-up / compile
         N = 20
         t0 = time.time()
-        acc = int(chain(arr, N)[1])  # scalar sync (4-byte transfer)
+        acc = int(chain(arr, jnp.int32(N))[1])  # scalar sync (4 bytes)
         dt = (time.time() - t0) / N
         del acc
         return B * L / dt

@@ -18,7 +18,7 @@ from typing import Dict
 
 from ..api import SeqIndexDB
 from ..core.fasta import read_fastx_all, reverse_complement
-from ..core.wfa import get_variant_segments
+from ..core.wfa import batch_get_variant_segments
 
 # record kinds
 BGN, END, MATCH, SVCND, VARIANT = "B", "E", "M", "S", "V"
@@ -63,9 +63,10 @@ def filter_aln_rev(aln_segs):
     return rtn
 
 
-def _diff_one(ref_seq, query_seq, ts, te, qs, qe, orientation, k):
-    """Classify/align one gap segment (reference: sv-candidate.rs:373-414).
-    Returns (type_char or None, variants)."""
+def _classify_one(ref_seq, query_seq, ts, te, qs, qe, orientation, k):
+    """Classify one gap segment (reference: sv-candidate.rs:373-414).
+    Returns (type_char or None, (s0, s1) to align or None): segments that
+    survive the S/L/E pre-checks are aligned later as one device batch."""
     ts0 = ts - k
     qs0 = qs - k if orientation == 0 else qs
     qe0 = qe if orientation == 0 else qe + k
@@ -80,10 +81,7 @@ def _diff_one(ref_seq, query_seq, ts, te, qs, qe, orientation, k):
         return "L", None
     if s0[:16] != s1[:16] or s0[-16:] != s1[-16:]:
         return "E", None
-    res = get_variant_segments(s0, s1, 1, 384, 3, 3, 1)
-    if res is None:
-        return "A", None
-    return None, res
+    return None, (s0, s1)
 
 
 def main(argv=None):
@@ -149,7 +147,7 @@ def main(argv=None):
                     mapped.setdefault(t_idx, []).append((aln, seg_ori))
                 orientation_info[t_idx] = 0 if ctg_cnt[0] > ctg_cnt[1] else 1
 
-        out_groups = []
+        region_jobs = []
         for t_idx, regions in mapped.items():
             ref_seq = ref_db.get_seq_by_id(t_idx)
             ctg_orientation = orientation_info[t_idx]
@@ -161,53 +159,88 @@ def main(argv=None):
                 )
                 v = []
                 for (ts, te), (qs, qe) in segs:
-                    diff_type, variants = _diff_one(
+                    diff_type, aln_pair = _classify_one(
                         ref_seq, query_seq, ts, te, qs, qe, orientation, k
                     )
-                    v.append(((ts - k, te), (qs, qe), orientation, diff_type, variants))
-                if not v:
-                    continue
-                records = []
-
-                def adj_q(qs, qe, orientation):
-                    # reference applies qs-k / qe+k at segment cut then
-                    # qs-k / qe-k at record emit; the net for BOTH
-                    # orientations is (qs-k, qe) (sv-cnd.rs:374-377,427-428)
-                    return qs - k, qe
-
-                (ts, te), (qs, qe), orientation, _dt, _vs = v[0]
-                qs0, qe0 = adj_q(qs, qe, orientation)
-                records.append(
-                    (BGN, (t_idx, ts, te, q_idx, qs0, qe0, orientation),
-                     q_len, ctg_orientation)
-                )
-                for (ts, te), (qs, qe), orientation, diff_type, variants in v:
-                    qs0, qe0 = adj_q(qs, qe, orientation)
-                    block = (t_idx, ts, te, q_idx, qs0, qe0, orientation)
-                    if diff_type is not None:
-                        records.append(
-                            (SVCND, block, diff_type, ctg_orientation)
-                        )
-                    elif not variants:
-                        records.append((MATCH, block))
-                    else:
-                        for td, qd, vt, t_str, q_str in variants:
-                            records.append(
-                                (VARIANT, block, td, qd, ts + td, vt, t_str, q_str)
-                            )
-                (ts, te), (qs, qe), orientation, _dt, _vs = v[-1]
-                qs0, qe0 = adj_q(qs, qe, orientation)
-                records.append(
-                    (END, (t_idx, ts, te, q_idx, qs0, qe0, orientation),
-                     q_len, ctg_orientation)
-                )
-                out_groups.append(records)
-        return out_groups
+                    v.append(
+                        ((ts - k, te), (qs, qe), orientation, diff_type,
+                         aln_pair)
+                    )
+                if v:
+                    region_jobs.append((t_idx, ctg_orientation, v))
+        return region_jobs
 
     nthreads = args.number_of_thread or None
     with ThreadPoolExecutor(max_workers=nthreads) as ex:
-        per_query = list(ex.map(process_query, range(len(query_seqs))))
-    all_records = [g for groups in per_query for g in groups]
+        per_query_jobs = list(ex.map(process_query, range(len(query_seqs))))
+
+    # ---- ONE batched alignment over every gap segment of every query
+    # (device when available: ops/wfa.py; sv-candidate.rs aligns these
+    # serially per thread) -------------------------------------------
+    seg_pairs = []
+    for jobs in per_query_jobs:
+        for _t_idx, _ctg_o, v in jobs:
+            for _tse, _qse, _ori, diff_type, aln_pair in v:
+                if diff_type is None and aln_pair is not None:
+                    seg_pairs.append(aln_pair)
+    seg_variants = batch_get_variant_segments(
+        seg_pairs, 1, 384, 3, 3, 1
+    )
+    seg_iter = iter(seg_variants)
+
+    def build_records(q_idx, t_idx, ctg_orientation, v):
+        q_len = query_len[q_idx]
+        resolved = []
+        for tse, qse, orientation, diff_type, aln_pair in v:
+            if diff_type is None and aln_pair is not None:
+                variants = next(seg_iter)
+                if variants is None:
+                    diff_type = "A"
+            else:
+                variants = None
+            resolved.append((tse, qse, orientation, diff_type, variants))
+        v = resolved
+        records = []
+
+        def adj_q(qs, qe, orientation):
+            # reference applies qs-k / qe+k at segment cut then
+            # qs-k / qe-k at record emit; the net for BOTH
+            # orientations is (qs-k, qe) (sv-cnd.rs:374-377,427-428)
+            return qs - k, qe
+
+        (ts, te), (qs, qe), orientation, _dt, _vs = v[0]
+        qs0, qe0 = adj_q(qs, qe, orientation)
+        records.append(
+            (BGN, (t_idx, ts, te, q_idx, qs0, qe0, orientation),
+             q_len, ctg_orientation)
+        )
+        for (ts, te), (qs, qe), orientation, diff_type, variants in v:
+            qs0, qe0 = adj_q(qs, qe, orientation)
+            block = (t_idx, ts, te, q_idx, qs0, qe0, orientation)
+            if diff_type is not None:
+                records.append(
+                    (SVCND, block, diff_type, ctg_orientation)
+                )
+            elif not variants:
+                records.append((MATCH, block))
+            else:
+                for td, qd, vt, t_str, q_str in variants:
+                    records.append(
+                        (VARIANT, block, td, qd, ts + td, vt, t_str, q_str)
+                    )
+        (ts, te), (qs, qe), orientation, _dt, _vs = v[-1]
+        qs0, qe0 = adj_q(qs, qe, orientation)
+        records.append(
+            (END, (t_idx, ts, te, q_idx, qs0, qe0, orientation),
+             q_len, ctg_orientation)
+        )
+        return records
+
+    all_records = [
+        build_records(q_idx, t_idx, ctg_o, v)
+        for q_idx, jobs in enumerate(per_query_jobs)
+        for t_idx, ctg_o, v in jobs
+    ]
 
     # ---- duplicate/overlap classification (sv-candidate.rs:503-699) ----
     in_aln_sv_cnd = []

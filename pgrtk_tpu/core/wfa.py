@@ -151,6 +151,30 @@ def get_variants_from_aln_pair_map(
     return [v for v in variants if v is not None]
 
 
+def _variants_from_reversed_alignment(
+    res, target_str: bytes, query_str: bytes, left_padding: int
+):
+    """Shared post-processing of a reversed-suffix alignment: restore
+    forward coordinates and aggregate variants (aln.rs:390-453)."""
+    if res is None:
+        return None
+    t_aln, q_aln = res
+    r_t_len = len(target_str) - left_padding
+    r_q_len = len(query_str) - left_padding
+    t_len_m1 = left_padding + r_t_len - 1
+    q_len_m1 = left_padding + r_q_len - 1
+    aln_pairs = wfa_aln_pair_map(t_aln, q_aln)
+    for delta in range(left_padding):
+        aln_pairs.append((r_t_len + delta, r_q_len + delta, "M"))
+    aln_pairs = [
+        (t_len_m1 - tp, q_len_m1 - qp, c) for tp, qp, c in aln_pairs
+    ]
+    aln_pairs.reverse()
+    return get_variants_from_aln_pair_map(
+        aln_pairs, target_str.decode(), query_str.decode()
+    )
+
+
 def get_variant_segments(
     target_str: bytes,
     query_str: bytes,
@@ -173,9 +197,6 @@ def get_variant_segments(
 
     r_t = target_str[left_padding:][::-1].decode()
     r_q = query_str[left_padding:][::-1].decode()
-    t_len_m1 = left_padding + len(r_t) - 1
-    q_len_m1 = left_padding + len(r_q) - 1
-
     res = wfa_align_bases(
         r_t,
         r_q,
@@ -184,16 +205,57 @@ def get_variant_segments(
         open_penalty,
         extension_penalty,
     )
-    if res is None:
-        return None
-    t_aln, q_aln = res
-    aln_pairs = wfa_aln_pair_map(t_aln, q_aln)
-    for delta in range(left_padding):
-        aln_pairs.append((len(r_t) + delta, len(r_q) + delta, "M"))
-    aln_pairs = [
-        (t_len_m1 - tp, q_len_m1 - qp, c) for tp, qp, c in aln_pairs
-    ]
-    aln_pairs.reverse()
-    return get_variants_from_aln_pair_map(
-        aln_pairs, target_str.decode(), query_str.decode()
+    return _variants_from_reversed_alignment(
+        res, target_str, query_str, left_padding
     )
+
+
+def batch_get_variant_segments(
+    pairs,
+    left_padding: int,
+    max_wf_length: int,
+    mismatch_penalty: int,
+    open_penalty: int,
+    extension_penalty: int,
+    force_device=None,
+):
+    """get_variant_segments over many (target, query) byte pairs at once:
+    the reversed suffixes are aligned as ONE device batch (ops/wfa.py —
+    bit-exact to the scalar arbiter, host fallback per segment) when an
+    accelerator is live and the batch is big enough, else serially on
+    the host.  Returns a list of per-pair variant lists (None entries
+    where the alignment did not complete)."""
+    pairs = [
+        (
+            t.encode() if isinstance(t, str) else bytes(t),
+            q.encode() if isinstance(q, str) else bytes(q),
+        )
+        for t, q in pairs
+    ]
+    rev = [
+        (t[left_padding:][::-1], q[left_padding:][::-1]) for t, q in pairs
+    ]
+    from ..utils import dispatch
+
+    total = sum(len(t) + len(q) for t, q in rev)
+    if dispatch.use_device(
+        total, forced=force_device, what="wfa", min_bases=8192
+    ):
+        from ..ops import wfa as dev_wfa
+
+        aligned = dev_wfa.batch_wfa_align(
+            rev, max_wf_length, mismatch_penalty, open_penalty,
+            extension_penalty,
+        )
+    else:
+        aligned = [
+            wfa_align_bases(
+                t.decode(), q.decode(), max_wf_length, mismatch_penalty,
+                open_penalty, extension_penalty,
+            )
+            for t, q in rev
+        ]
+    return [
+        _variants_from_reversed_alignment(res, t, q, left_padding)
+        for res, (t, q) in zip(aligned, pairs)
+    ]

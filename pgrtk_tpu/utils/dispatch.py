@@ -76,14 +76,23 @@ def _threshold() -> int:
 _logged = set()
 
 
-def use_device(total_bases: int, *, forced: str | None = None, what: str = "") -> bool:
-    """Decide host vs device for a batch of `total_bases` input bases."""
+def use_device(
+    total_bases: int,
+    *,
+    forced: str | None = None,
+    what: str = "",
+    min_bases: int | None = None,
+) -> bool:
+    """Decide host vs device for a batch of `total_bases` input bases.
+    `min_bases` overrides the default threshold for workloads whose
+    per-base cost differs from sketching (e.g. WFA is ~100x heavier)."""
     if forced == "device":
         decision = True
     elif forced in ("native", "python", "host"):
         decision = False
     else:
-        decision = total_bases >= _threshold() and accelerator_present()
+        thr = _threshold() if min_bases is None else min_bases
+        decision = total_bases >= thr and accelerator_present()
     key = (what, decision)
     if key not in _logged:
         _logged.add(key)

@@ -1,0 +1,147 @@
+"""Batched device WFA vs the native arbiter (wfa.cc) — bit-exact gapped
+strings, SV-pipeline penalties (x=3, o=3, e=1, max_wf_length=384)."""
+import numpy as np
+import pytest
+
+from pgrtk_tpu.core import wfa as host_wfa
+
+
+def _mutate(rng, seq, n_snp=0, n_ins=0, n_del=0):
+    s = bytearray(seq)
+    bases = b"ACGT"
+    for _ in range(n_snp):
+        p = rng.randint(16, len(s) - 16)
+        s[p] = bases[(bases.index(s[p]) + 1 + rng.randint(3)) % 4]
+    for _ in range(n_ins):
+        p = rng.randint(16, len(s) - 16)
+        frag = bytes(rng.choice(np.frombuffer(bases, np.uint8),
+                                rng.randint(1, 30)).tolist())
+        s[p:p] = frag
+    for _ in range(n_del):
+        p = rng.randint(16, len(s) - 16 - 30)
+        del s[p : p + rng.randint(1, 30)]
+    return bytes(s)
+
+
+def _rand_seq(rng, n):
+    return bytes(
+        rng.choice(np.frombuffer(b"ACGT", np.uint8), n).tolist()
+    )
+
+
+def _pairs(seed=0):
+    rng = np.random.RandomState(seed)
+    pairs = []
+    for i in range(12):
+        n = int(rng.randint(40, 480))
+        t = _rand_seq(rng, n)
+        q = _mutate(
+            rng, t,
+            n_snp=int(rng.randint(0, 6)),
+            n_ins=int(rng.randint(0, 3)),
+            n_del=int(rng.randint(0, 3)),
+        )
+        pairs.append((t, q))
+    # identical pair, single-SNP pair, pure-indel pair
+    t = _rand_seq(rng, 100)
+    pairs.append((t, t))
+    q = bytearray(t); q[50] = b"A"[0] if t[50] != b"A"[0] else b"C"[0]
+    pairs.append((t, bytes(q)))
+    pairs.append((t, t[:40] + t[60:]))  # 20-base deletion
+    pairs.append((t[:40] + t[60:], t))  # 20-base insertion
+    return pairs
+
+
+def test_batch_wfa_matches_native_arbiter():
+    from pgrtk_tpu.ops import wfa as dwfa
+
+    pairs = _pairs()
+    got = dwfa.batch_wfa_align(pairs)
+    for i, (t, q) in enumerate(pairs):
+        want = host_wfa.wfa_align_bases(
+            t.decode(), q.decode(), 384, 3, 3, 1, 1024
+        )
+        assert got[i] == want, i
+
+
+def test_batch_wfa_reversed_segments_variant_parity():
+    """The SV pipeline aligns REVERSED suffixes (left-aligned variants):
+    device batch must reproduce get_variant_segments exactly."""
+    from pgrtk_tpu.ops import wfa as dwfa
+
+    rng = np.random.RandomState(3)
+    cases = []
+    for _ in range(6):
+        t = _rand_seq(rng, int(rng.randint(60, 400)))
+        q = _mutate(rng, t, n_snp=2, n_ins=1, n_del=1)
+        cases.append((t, q))
+    # the host reference result
+    want = [
+        host_wfa.get_variant_segments(t, q, 1, 384, 3, 3, 1)
+        for t, q in cases
+    ]
+    rev_pairs = [(t[1:][::-1], q[1:][::-1]) for t, q in cases]
+    aligned = dwfa.batch_wfa_align(rev_pairs)
+    for i, ((t, q), res) in enumerate(zip(cases, aligned)):
+        assert res is not None
+        t_aln, q_aln = res
+        pairs_map = host_wfa.wfa_aln_pair_map(t_aln, q_aln)
+        r_t = t[1:][::-1]
+        r_q = q[1:][::-1]
+        for delta in range(1):
+            pairs_map.append((len(r_t) + delta, len(r_q) + delta, "M"))
+        t_len_m1 = 1 + len(r_t) - 1
+        q_len_m1 = 1 + len(r_q) - 1
+        pairs_map = [
+            (t_len_m1 - tp, q_len_m1 - qp, c) for tp, qp, c in pairs_map
+        ]
+        pairs_map.reverse()
+        got = host_wfa.get_variants_from_aln_pair_map(
+            pairs_map, t.decode(), q.decode()
+        )
+        assert got == want[i], i
+
+
+def test_batch_wfa_oversize_falls_back_to_host():
+    from pgrtk_tpu.ops import wfa as dwfa
+
+    rng = np.random.RandomState(5)
+    t = _rand_seq(rng, 700)  # > L=512 -> host path
+    q = _mutate(rng, t, n_snp=3)
+    got = dwfa.batch_wfa_align([(t, q)])
+    want = host_wfa.wfa_align_bases(t.decode(), q.decode(), 384, 3, 3, 1)
+    assert got[0] == want
+
+
+def test_sv_snapshot_through_device_wfa(test_data_dir, tmp_path, monkeypatch):
+    """The SV pipeline's .alnmap/.vcf snapshot must be identical when the
+    gap segments are aligned by the device batch kernel."""
+    import os
+
+    from pgrtk_tpu.cli import pgr_get_sv_candidate_regions as sv
+    from pgrtk_tpu.core.fasta import read_fastx_all
+    from pgrtk_tpu.utils import dispatch
+
+    monkeypatch.setattr(
+        dispatch, "use_device",
+        lambda *a, **kw: kw.get("what") == "wfa",
+    )
+    recs = read_fastx_all(
+        os.path.join(test_data_dir, "test_agc_seqs.fa")
+    )[:3]
+    qf = tmp_path / "q3.fa"
+    with open(qf, "w") as f:
+        for r in recs:
+            f.write(f">{r.id.decode()}\n{r.seq.decode()}\n")
+    sv.main(
+        [
+            os.path.join(test_data_dir, "test_agc_ref.fa"),
+            str(qf),
+            str(tmp_path / "sv"),
+        ]
+    )
+    golden = os.path.join(os.path.dirname(__file__), "goldens")
+    for name in ("sv.alnmap", "sv.vcf"):
+        got = open(tmp_path / name).read()
+        expect = open(os.path.join(golden, name)).read()
+        assert got == expect, name
