@@ -156,8 +156,17 @@ def query_sdb(
     max_aln_span=8,
 ):
     """Query a sequence index database; returns {sid: [(bgn, end, len,
-    orientation, aln)]} (reference: pgr-tk/pgrtk/__init__.py:130-221)."""
-    r = seq_index_db.query_fragment_to_hps(
+    orientation, aln)]}.
+
+    Output-parity reimplementation of the reference's public helper
+    (pgr-tk/pgrtk/__init__.py:130-221), quirks included:
+      * the forward/reverse orientation vote accumulates across ALL
+        chains of a target, so a later chain's vote includes every
+        earlier chain's hits;
+      * a region's bgn/end come from min/max over the (b, e) tuple of
+        the first/last SORTED target interval — not over all intervals.
+    """
+    hits = seq_index_db.query_fragment_to_hps(
         query_seq,
         gap_penalty_factor,
         max_count,
@@ -165,61 +174,68 @@ def query_sdb(
         max_target_count,
         max_aln_span,
     )
-    sid_to_alns = {}
-    for sid, alns in r:
-        f_count = 0
-        r_count = 0
-        for _s, aln in alns:
-            if len(aln) > 2:
-                sid_to_alns.setdefault(sid, [])
-                for hp in aln:
-                    if hp[0][2] == hp[1][2]:
-                        f_count += 1
-                    else:
-                        r_count += 1
-                orientation = 0 if f_count > r_count else 1
-                sid_to_alns[sid].append((aln, orientation))
+    oriented_chains = {}
+    for sid, chains in hits:
+        fwd = rev = 0  # running totals across this target's chains
+        for _score, chain in chains:
+            if len(chain) <= 2:
+                continue
+            for (q3, t3) in chain:
+                if q3[2] == t3[2]:
+                    fwd += 1
+                else:
+                    rev += 1
+            oriented_chains.setdefault(sid, []).append(
+                (chain, 0 if fwd > rev else 1)
+            )
 
-    aln_range = {}
-    for sid, alns in sid_to_alns.items():
-        for aln, orientation in alns:
-            target_coor = sorted((hp[1][0], hp[1][1]) for hp in aln)
-            bgn = min(target_coor[0])
-            end = max(target_coor[-1])
-            aln_range.setdefault(sid, []).append(
-                (bgn, end, end - bgn, orientation, aln)
+    regions = {}
+    for sid, chains in oriented_chains.items():
+        for chain, orientation in chains:
+            spans = sorted((t3[0], t3[1]) for _q3, t3 in chain)
+            bgn = min(spans[0])
+            end = max(spans[-1])
+            regions.setdefault(sid, []).append(
+                (bgn, end, end - bgn, orientation, chain)
             )
     if merge_range_tol > 0:
-        for sid, rgns in aln_range.items():
-            aln_range[sid] = merge_regions(rgns, tol=merge_range_tol)
-    return aln_range
+        regions = {
+            sid: merge_regions(rs, tol=merge_range_tol)
+            for sid, rs in regions.items()
+        }
+    return regions
 
 
 def merge_regions(rgns, tol=1000):
-    """Merge regions within tol, forward/reverse separately
-    (reference: pgrtk/__init__.py:270-328)."""
-    rgns = sorted(rgns)
-    frgns = [r for r in rgns if r[3] == 0]
-    rrgns = [r for r in rgns if r[3] == 1]
+    """Merge nearby (bgn, end, len, orientation, aln) regions, forward
+    and reverse strands separately.
+
+    Parity quirks (reference: pgrtk/__init__.py:270-328): a region whose
+    end precedes the current merged end is dropped entirely; merged
+    length is the SUM of member lengths (not end - bgn); the proximity
+    test uses the previous region's end, which trails the merged end
+    after a drop.
+    """
+    by_strand = ([], [])
+    for r in sorted(rgns):
+        by_strand[r[3]].append(list(r))
     out = []
-    for sub in (frgns, rrgns):
+    for strand_rgns in by_strand:
         merged = []
-        last = None
-        for r in sub:
-            r = list(r)
-            if last is None:
-                last = r[1]
+        prev_end = None
+        for r in strand_rgns:
+            if prev_end is None:
                 merged.append(r)
-                continue
-            if r[1] < merged[-1][1]:
-                continue
-            if r[0] - last < tol:
-                merged[-1][1] = r[1]
-                merged[-1][2] += r[2]
-                merged[-1][4] = merged[-1][4] + r[4]
+            elif r[1] < merged[-1][1]:
+                continue  # contained: dropped, prev_end unchanged
+            elif r[0] - prev_end < tol:
+                head = merged[-1]
+                head[1] = r[1]
+                head[2] += r[2]
+                head[4] = head[4] + r[4]
             else:
                 merged.append(r)
-            last = merged[-1][1]
+            prev_end = merged[-1][1]
         out.extend(merged)
     return out
 
@@ -234,7 +250,9 @@ def map_intervals_in_sdb(
     max_target_count=32,
     max_aln_span=8,
 ):
-    """Map a (start, end) interval onto database sequences
+    """Map a (start, end) interval of query_seq onto database sequences:
+    {sid: (orientation, mapped_start, mapped_end)} for targets where both
+    endpoints map uniquely with one consistent orientation
     (reference: pgrtk/__init__.py:224-268)."""
     assert len(interval) == 2
     pos_map = seq_index_db.map_positions_in_seq(
@@ -246,148 +264,152 @@ def map_intervals_in_sdb(
         max_target_count,
         max_aln_span,
     )
-    seqid_to_positions = {}
-    for res in pos_map:
-        pos = res[0]
+    per_target = {}
+    for res in pos_map:  # (pos, (sid, tpos, ori), query_span, target_span)
+        qpos = res[0]
         sid, tpos, orientation = res[1]
-        seqid_to_positions.setdefault(sid, {}).setdefault(pos, []).append(
+        per_target.setdefault(sid, {}).setdefault(qpos, []).append(
             (tpos, orientation)
         )
-    rtn = {}
-    for sid, positions in seqid_to_positions.items():
-        if interval[0] in positions and interval[1] in positions:
-            left_p = positions[interval[0]]
-            right_p = positions[interval[1]]
-            if len(left_p) != 1 or len(right_p) != 1:
-                continue
-            (left_p, left_o) = left_p[0]
-            (right_p, right_o) = right_p[0]
-            if left_o != right_o:
-                continue
-            rtn[sid] = (left_o, left_p, right_p)
-    return rtn
+    mapped = {}
+    for sid, at in per_target.items():
+        lefts = at.get(interval[0])
+        rights = at.get(interval[1])
+        if not lefts or not rights:
+            continue
+        if len(lefts) != 1 or len(rights) != 1:
+            continue  # ambiguous endpoint
+        (lp, lo), (rp, ro) = lefts[0], rights[0]
+        if lo == ro:
+            mapped[sid] = (lo, lp, rp)
+    return mapped
 
 
 def compute_graph_diffusion_entropy(gfa_fn, max_nodes=6000):
-    """Diffusion entropy of a GFA graph
-    (reference: pgrtk/__init__.py:330-388)."""
+    """Diffusion entropy of a GFA graph's link structure.
+
+    Parity quirks (reference: pgrtk/__init__.py:330-388): node ids are
+    assumed to be 0..n-1; the transition matrix divides column j by the
+    sum of ROW j (no keepdims — the reference's broadcasting, not a
+    proper row normalization); diffusion runs n steps from uniform.
+    """
     import numpy as np
 
-    adj_list = {}
+    edges = []
+    max_id = -1
     with open(gfa_fn) as f:
-        for r in f:
-            r = r.strip().split("\t")
-            if r[0] != "L":
+        for line in f:
+            cols = line.strip().split("\t")
+            if cols[0] != "L":
                 continue
-            n1 = int(r[1])
-            n2 = int(r[3])
-            weight = None
-            for field in r[6:]:
-                field = field.split(":")
-                if field[0] == "SC":
-                    weight = int(field[2])
-            if weight is None:
-                weight = 1
-            adj_list.setdefault(n1, []).append((n2, weight))
-            adj_list.setdefault(n2, []).append((n1, weight))
-    n_node = len(adj_list)
+            a, b = int(cols[1]), int(cols[3])
+            weight = 1
+            for tag in cols[6:]:
+                parts = tag.split(":")
+                if parts[0] == "SC":
+                    weight = int(parts[2])
+            edges.append((a, b, weight))
+            max_id = max(max_id, a, b)
+    n_node = max_id + 1
     if n_node > max_nodes:
         return None
-    adj_matrix = np.zeros((n_node, n_node), dtype=np.float32)
-    for v, ws in adj_list.items():
-        for w, weight in ws:
-            adj_matrix[v][w] = weight
-    n_adj_matrix = adj_matrix / np.sum(adj_matrix, axis=1)
-    yy = np.ones(n_node, dtype=np.float32) / n_node
+    adj = np.zeros((n_node, n_node), dtype=np.float32)
+    for a, b, weight in edges:
+        adj[a, b] = weight
+        adj[b, a] = weight
+    transition = adj / np.sum(adj, axis=1)  # reference broadcasting quirk
+    yy = np.full(n_node, 1.0 / n_node, dtype=np.float32)
     for _ in range(n_node):
-        yy = np.inner(n_adj_matrix, yy)
+        yy = transition @ yy
     entropy = -np.sum(yy * np.log2(yy))
     return (entropy, list(enumerate(yy * n_node)))
 
 
 def group_smps_by_principle_bundle_id(smps, len_cutoff=2500, merge_length=5000):
-    """Group decomposition output by bundle id
-    (reference: pgrtk/__init__.py:391-467)."""
-    pbid, pdirection = None, None
-    all_partitions = []
-    new_partition = []
+    """Partition a sequence's (smp, bundle_info) decomposition stream
+    into runs of one bundle id + direction, then merge adjacent runs of
+    the same (id, direction) closer than merge_length
+    (reference: pgrtk/__init__.py:391-467).
+
+    Runs shorter than len_cutoff (end of last smp minus start of first)
+    are discarded at the cut points, exactly as the reference does —
+    including the final run.
+    """
+    runs = []
+    run = []
+    run_key = None  # (bundle_id, direction)
+
+    def keep(r):
+        return r and r[-1][0][3] - r[0][0][2] > len_cutoff
+
     for smp, bundle_info in smps:
         if bundle_info is None:
             continue
-        d = 0 if smp[4] == bundle_info[1] else 1
-        bid = bundle_info[0]
-        bpos = bundle_info[2]
-        if pbid is None and pdirection is None:
-            new_partition = [(smp, bid, d, bpos)]
-            pbid = bid
-            pdirection = d
+        bid, b_ori, bpos = bundle_info[0], bundle_info[1], bundle_info[2]
+        direction = 0 if smp[4] == b_ori else 1
+        if run_key is None:
+            run = [(smp, bid, direction, bpos)]
+            run_key = (bid, direction)
             continue
-        if bid != pbid or d != pdirection:
-            if (
-                new_partition
-                and new_partition[-1][0][3] - new_partition[0][0][2] > len_cutoff
-            ):
-                all_partitions.append(new_partition)
-            new_partition = []
-            pbid = bid
-            pdirection = d
-        new_partition.append((smp, bid, d, bpos))
-    if (
-        new_partition
-        and new_partition[-1][0][3] - new_partition[0][0][2] > len_cutoff
-    ):
-        all_partitions.append(new_partition)
+        if (bid, direction) != run_key:
+            if keep(run):
+                runs.append(run)
+            run = []
+            run_key = (bid, direction)
+        run.append((smp, bid, direction, bpos))
+    if keep(run):
+        runs.append(run)
 
-    rtn_partitions = []
-    if not all_partitions:
-        return rtn_partitions
-    partition = all_partitions[0]
-    for p in all_partitions[1:]:
-        p_end = partition[-1][0][3]
-        p_bid = partition[-1][1]
-        p_d = partition[-1][2]
-        np_bgn = p[0][0][2]
-        np_bid = p[0][1]
-        np_d = p[0][2]
-        if p_bid == np_bid and p_d == np_d and abs(np_bgn - p_end) < merge_length:
-            partition.extend(p)
+    if not runs:
+        return []
+    merged = []
+    current = runs[0]
+    for nxt in runs[1:]:
+        same_bundle = (
+            current[-1][1] == nxt[0][1] and current[-1][2] == nxt[0][2]
+        )
+        gap = abs(nxt[0][0][2] - current[-1][0][3])
+        if same_bundle and gap < merge_length:
+            current.extend(nxt)
         else:
-            rtn_partitions.append(partition)
-            partition = p
-    rtn_partitions.append(partition)
-    return rtn_partitions
+            merged.append(current)
+            current = nxt
+    merged.append(current)
+    return merged
 
 
 def get_principle_bundle_bed_file_for_query(
     seqs, w=64, k=56, r=4, min_span=32, min_cov=2, min_branch_length=8
 ):
-    """(reference: pgrtk/__init__.py:470-506)"""
+    """Index a list of (name, seq) pairs in memory, decompose into
+    principal bundles, and emit BED-style rows mapped back to original
+    coordinates parsed from the `..._bgn_end_ori` sequence-name suffix
+    (reference: pgrtk/__init__.py:470-506; partitions are emitted in
+    reverse order, as the reference does)."""
     sdb = SeqIndexDB()
     sdb.load_from_seq_list(seqs, "memory", w, k, r, min_span)
-    principal_bundles, sid_smps = sdb.get_principal_bundle_decomposition(
+    _bundles, sid_smps = sdb.get_principal_bundle_decomposition(
         min_cov, min_branch_length
     )
     sid_smps = dict(sid_smps)
-    sinfo = sorted(sdb.seq_info.items(), key=lambda x: x[1][0])
-    bundle_layout = []
-    for sid, data in sinfo:
-        ctg, _, _ = data
-        ctg_items = ctg.split("_")
-        ctg_bgn = int(ctg_items[-3])
-        smps = sid_smps[sid]
-        smp_partitions = group_smps_by_principle_bundle_id(smps, 50, 100000)
-        smp_partitions.reverse()
-        for p in smp_partitions:
-            b = p[0][0][2]
-            e = p[-1][0][3] + k
-            bid = p[0][1]
-            direction = p[0][2]
-            bundle_layout.append(
+    rows = []
+    for sid, (ctg, _src, _len) in sorted(
+        sdb.seq_info.items(), key=lambda kv: kv[1][0]
+    ):
+        ctg_bgn = int(ctg.split("_")[-3])
+        partitions = group_smps_by_principle_bundle_id(
+            sid_smps[sid], 50, 100000
+        )
+        for p in reversed(partitions):
+            bgn = p[0][0][2]
+            end = p[-1][0][3] + k
+            bid, direction = p[0][1], p[0][2]
+            rows.append(
                 (
                     ctg,
-                    ctg_bgn + b,
-                    ctg_bgn + e,
+                    ctg_bgn + bgn,
+                    ctg_bgn + end,
                     f"{bid}:{direction}:{p[0][3]}:{p[-1][3]}",
                 )
             )
-    return bundle_layout
+    return rows

@@ -69,3 +69,36 @@ def test_cmrg_style_workflow(test_data_dir, tmp_path):
     assert hits > 0
     bids = {b[0] for _smp, b in smap[0] if b is not None}
     assert bids <= set(range(len(bundles)))
+
+
+def test_map_intervals_in_sdb(test_data_dir):
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    gene_seq = read_fastx_all(
+        os.path.join(test_data_dir, "test_seqs2.fa.gz")
+    )[0].seq
+    interval = (1000, len(gene_seq) - 1000)
+    mapped = pgrtk_tpu.map_intervals_in_sdb(db, interval, gene_seq)
+    assert mapped  # maps onto many haplotypes
+    for sid, (orientation, left, right) in mapped.items():
+        assert orientation in (0, 1)
+        span = abs(right - left)
+        # the mapped span stays in the same ballpark as the query span
+        assert 0.5 < span / (interval[1] - interval[0]) < 2.0
+
+
+def test_principle_bundle_bed_for_query(test_data_dir):
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs.fa"))[:6]
+    seqs = [
+        (f"{r.id.decode()}_0_{len(r.seq)}_0", r.seq) for r in recs
+    ]
+    rows = pgrtk_tpu.get_principle_bundle_bed_file_for_query(
+        seqs, w=48, k=48, r=1, min_span=24
+    )
+    assert rows
+    for ctg, bgn, end, label in rows:
+        assert end > bgn >= 0
+        bid, direction, p0, p1 = label.split(":")
+        assert direction in ("0", "1")
