@@ -55,8 +55,13 @@ def test_pgr_compare_cov(test_data_dir, tmp_path):
     l1.write_text(os.path.join(test_data_dir, "test_agc_seqs.fa") + "\n")
     prefix = str(tmp_path / "cov")
     assert pgr_compare_cov.main([str(l0), str(l1), prefix]) == 0
-    bg = open(prefix + ".0.bedgraph").read().splitlines()
-    assert bg and all(len(l.split("\t")) == 6 for l in bg)
+    got = open(prefix + ".0.bedgraph").read()
+    expect = open(
+        os.path.join(
+            os.path.dirname(__file__), "goldens", "compare_cov.0.bedgraph"
+        )
+    ).read()
+    assert got == expect
 
 
 def test_pgr_compare_cov2(test_data_dir, tmp_path):
@@ -144,6 +149,9 @@ def pbundle_bed(test_data_dir, tmp_path_factory):
     return td / "pb.bed"
 
 
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
 def test_pgr_pbundle_aln(tmp_path, pbundle_bed):
     from pgrtk_tpu.cli import pgr_pbundle_aln
     from pgrtk_tpu.cli.pgr_pbundle_bed2dist import read_bed
@@ -155,8 +163,9 @@ def test_pgr_pbundle_aln(tmp_path, pbundle_bed):
     assert pgr_pbundle_aln.main(
         [str(pbundle_bed), str(spec), prefix]
     ) == 0
-    outs = [p for p in os.listdir(tmp_path) if p.startswith("aln")]
-    assert outs
+    got = open(prefix + ".bln.json").read()
+    expect = open(os.path.join(GOLDEN_DIR, "pbundle_aln.bln.json")).read()
+    assert got == expect
 
 
 def test_pgr_pbundle_bed2svg(tmp_path, pbundle_bed):
@@ -164,8 +173,22 @@ def test_pgr_pbundle_bed2svg(tmp_path, pbundle_bed):
 
     prefix = str(tmp_path / "view")
     assert b2s.main([str(pbundle_bed), prefix]) == 0
-    svg = open(prefix + ".svg").read()
-    assert "<svg" in svg and "<title>" in svg
+    got = open(prefix + ".svg").read()
+    expect = open(os.path.join(GOLDEN_DIR, "pbundle_view.svg")).read()
+    assert got == expect
+
+
+def test_pgr_pbundle_bed2dist_snapshot(tmp_path, pbundle_bed):
+    from pgrtk_tpu.cli import pgr_pbundle_bed2dist as b2d
+
+    prefix = str(tmp_path / "dist")
+    assert b2d.main([str(pbundle_bed), prefix]) == 0
+    for ext in (".dist", ".nwk", ".ddg"):
+        got = open(prefix + ext).read()
+        expect = open(
+            os.path.join(GOLDEN_DIR, "pbundle_dist" + ext)
+        ).read()
+        assert got == expect, ext
 
 
 def test_pgr_filter_cli(test_data_dir, capsys):
