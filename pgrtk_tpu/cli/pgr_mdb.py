@@ -8,7 +8,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from ..core.agc import open_archive
+from ..core.archive_pipeline import stream_archive
 from ..core.seqdb import CompactSeqDB
 from ..core.spec import ShmmrSpec
 
@@ -38,12 +38,12 @@ def main(argv=None):
     with open(args.filepath) as f:
         archives = [line.strip() for line in f if line.strip()]
     for path in archives:
-        pga = open_archive(path)
-        records = []
-        for sample in pga.list_samples():
-            for ctg, _ln in pga.list_ctgs(sample):
-                records.append((sample, ctg, pga.get_seq(sample, ctg)))
-        db.load_index_only(records)
+        # chunked streaming build: reader threads decode ahead of the
+        # sketcher with bounded memory (core/archive_pipeline.py)
+        for records in stream_archive(
+            path, nthreads=args.number_of_readers
+        ):
+            db.load_index_only(records)
     db.write_mdb_midx(args.prefix)
     return 0
 

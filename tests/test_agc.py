@@ -118,3 +118,29 @@ def test_load_from_agc_index_via_mdb(tmp_path, truth):
         max_count_target=32, max_aln_span=8,
     )
     assert hits, "query against AGC-backed index returned nothing"
+
+
+def test_stream_archive_parallel_matches_sync(test_data_dir):
+    """The prefetching reader pool yields the same records in the same
+    order as synchronous decoding (thread-local handles, bounded
+    prefetch window — core/archive_pipeline.py)."""
+    import os
+
+    from pgrtk_tpu.core.agc import open_archive
+    from pgrtk_tpu.core.archive_pipeline import stream_archive
+
+    path = os.path.join(test_data_dir, "test.agc")
+    sync = open_archive(path)
+    want = [
+        (s, c, sync.get_seq(s, c))
+        for s in sync.list_samples()
+        for c, _l in sync.list_ctgs(s)
+    ]
+    got = [
+        rec
+        for chunk in stream_archive(
+            path, chunk_contigs=2, nthreads=3, prefetch=2
+        )
+        for rec in chunk
+    ]
+    assert got == want and len(got) > 4
