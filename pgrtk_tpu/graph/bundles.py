@@ -29,16 +29,49 @@ def frag_map_to_adj_list(
 ) -> List[AdjPair]:
     """Flatten the index to (sid, bgn, end, node) rows, sort, and link
     consecutive fragments of the same sequence (emitting both the forward
-    and the reverse-complement edge).  (reference: seq_db.rs:876-944)"""
+    and the reverse-complement edge).  (reference: seq_db.rs:876-944 —
+    a rayon parallel sort there; here the sort+link runs on device for
+    large graphs via ops/adj.py, host tuple sort otherwise.)"""
+    keep_set = set(keeps) if keeps is not None else None
+    n_rows = sum(len(sigs) for sigs in frag_map.values())
+    if n_rows < 2:
+        return []
+
+    from ..utils import dispatch
+
+    if dispatch.use_device(n_rows, what="adj", min_bases=1 << 18):
+        import numpy as np
+
+        from ..ops import adj as adj_ops
+
+        rows = np.empty((n_rows, 6), dtype=np.uint64)
+        mask = np.empty(n_rows, dtype=bool)
+        i = 0
+        for (h0, h1), sigs in frag_map.items():
+            ok = len(sigs) >= min_count
+            for _fid, sid, bgn, end, ori in sigs:
+                rows[i] = (sid, bgn, end, h0, h1, ori)
+                mask[i] = ok or (keep_set is not None and sid in keep_set)
+                i += 1
+        srows, link = adj_ops.sort_link_rows(rows, mask)
+        out: List[AdjPair] = []
+        for i in np.flatnonzero(link):
+            sid = int(srows[i, 0])
+            v = (int(srows[i, 3]), int(srows[i, 4]), int(srows[i, 5]))
+            w = (
+                int(srows[i + 1, 3]),
+                int(srows[i + 1, 4]),
+                int(srows[i + 1, 5]),
+            )
+            out.append((sid, v, w))
+            out.append((sid, _rev(w), _rev(v)))
+        return out
+
     rows = []
     for (h0, h1), sigs in frag_map.items():
         for _fid, sid, bgn, end, ori in sigs:
             rows.append((sid, bgn, end, (h0, h1, ori)))
-    if len(rows) < 2:
-        return []
     rows.sort()
-
-    keep_set = set(keeps) if keeps is not None else None
 
     def passes(row):
         if len(frag_map[(row[3][0], row[3][1])]) >= min_count:
@@ -46,7 +79,7 @@ def frag_map_to_adj_list(
         return keep_set is not None and row[0] in keep_set
 
     mask = [passes(r) for r in rows]
-    out: List[AdjPair] = []
+    out = []
     for i in range(len(rows) - 1):
         if not (mask[i] and mask[i + 1]):
             continue

@@ -181,3 +181,23 @@ def test_map_positions_in_seq(amy_db, test_data_dir):
         assert tb <= tpos <= te
         by_pos.setdefault(pos, []).append(sid)
     assert set(by_pos) <= set(positions)
+
+
+def test_adj_list_device_matches_host(test_data_dir, monkeypatch):
+    """Device sort+link adjacency construction (ops/adj.py) == the host
+    tuple-sort path, including min_count masking and keeps overrides."""
+    import pgrtk_tpu
+    from pgrtk_tpu.graph import bundles as gb
+    from pgrtk_tpu.utils import dispatch
+
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    frag_map = db.get_shmmr_map()
+    for min_count, keeps in ((0, None), (2, None), (4, [0, 1])):
+        host = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
+        monkeypatch.setattr(
+            dispatch, "use_device", lambda *a, **kw: kw.get("what") == "adj"
+        )
+        dev = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
+        monkeypatch.undo()
+        assert dev == host and host
