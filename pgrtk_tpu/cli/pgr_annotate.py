@@ -97,6 +97,11 @@ def main_bed(argv=None):
     p.add_argument("annotation_path")
     p.add_argument("output_path")
     p.add_argument("--number-of-thread", type=int, default=0)
+    from ..utils.version import version_string
+
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
     annotate_bed(args.bed_path, args.annotation_path, args.output_path)
     return 0

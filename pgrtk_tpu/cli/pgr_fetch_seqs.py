@@ -22,6 +22,11 @@ def main(argv=None):
     p.add_argument("-r", "--region-file", default=None)
     p.add_argument("-o", "--output-file", default=None)
     p.add_argument("--list", action="store_true")
+    from ..utils.version import version_string
+
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
 
     db = SeqIndexDB()

@@ -104,6 +104,11 @@ def main(argv=None):
     p.add_argument(
         "--generate-sv-candidate-fasta-file", action="store_true"
     )
+    from ..utils.version import version_string
+
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
     k = args.k
 

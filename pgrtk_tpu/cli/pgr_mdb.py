@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("-m", "--min-span", type=int, default=64)
     p.add_argument("-s", "--sketch", action="store_true")
     p.add_argument("--number-of-readers", type=int, default=4)
+    from ..utils.version import version_string
+
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
 
     spec = ShmmrSpec(

@@ -132,6 +132,11 @@ def main(argv=None):
     )
     p.add_argument("bed_file_path")
     p.add_argument("output_prefix")
+    from ..utils.version import version_string
+
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
 
     ctg_data = read_bed(args.bed_file_path)

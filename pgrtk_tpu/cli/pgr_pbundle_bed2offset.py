@@ -108,6 +108,11 @@ def main(argv=None):
     p.add_argument("output_prefix")
     p.add_argument("--ctgs-of-interest", default=None)
     p.add_argument("--alt-anchoring-mode", action="store_true")
+    from ..utils.version import version_string
+
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
 
     ctg_data = dict(read_bed(args.bed_file_path))

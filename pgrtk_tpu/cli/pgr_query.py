@@ -235,6 +235,11 @@ def main(argv=None):
         "--host", action="store_false", dest="batch_device",
         help="force the host (native C++) query path",
     )
+    from ..utils.version import version_string
+
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
 
     db = SeqIndexDB()

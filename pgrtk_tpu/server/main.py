@@ -16,12 +16,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import sys
+import time
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..api import SeqIndexDB
+from ..utils.version import version_string
+
+log = logging.getLogger("pgrtk_tpu")
 from .bundle_processing import (
     SequenceQuerySpec,
     get_target_and_principal_bundle_decomposition,
@@ -42,15 +47,32 @@ class Handler(BaseHTTPRequestHandler):
         self.send_header("Access-Control-Allow-Origin", "*")
         self.send_header("Access-Control-Allow-Methods", "*")
         self.send_header("Access-Control-Allow-Headers", "*")
+        self.send_header("X-Pgrtk-Version", version_string())
         self.end_headers()
         self.wfile.write(data)
+        self._status = code
+
+    def handle_one_request(self):
+        # request tracing (the reference's tower-http TraceLayer,
+        # pgr-web/pgr-server/src/main.rs:116): method, path, status, ms
+        self._status = None
+        t0 = time.monotonic()
+        super().handle_one_request()
+        if getattr(self, "command", None) and self._status is not None:
+            log.info(
+                "%s %s -> %d (%.1f ms)",
+                self.command, self.path, self._status,
+                1e3 * (time.monotonic() - t0),
+            )
 
     def do_OPTIONS(self):
         self._send(200, "")
 
     def do_GET(self):
         parsed = urllib.parse.urlparse(self.path)
-        if parsed.path == "/api/get_number_of_ctgs":
+        if parsed.path == "/api/version":
+            self._send(200, json.dumps(version_string()))
+        elif parsed.path == "/api/get_number_of_ctgs":
             self._send(200, json.dumps(len(self.seq_db.seq_info)))
         elif parsed.path == "/api/get_html_by_query":
             try:
@@ -111,6 +133,9 @@ class Handler(BaseHTTPRequestHandler):
 
 
 def main(argv=None):
+    from ..utils.dispatch import init_cli_logging
+
+    init_cli_logging()
     p = argparse.ArgumentParser(prog="pgr-server")
     p.add_argument("data_path_prefix")
     p.add_argument("--frg-file", action="store_true")
@@ -118,7 +143,11 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=3000)
     p.add_argument("--static-dir", default="./dist")
     p.add_argument("--rois-json", default=None)
+    p.add_argument(
+        "--version", action="version", version=version_string()
+    )
     args = p.parse_args(argv)
+    log.info("starting %s", version_string())
 
     db = SeqIndexDB()
     if args.frg_file:

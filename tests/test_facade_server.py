@@ -84,7 +84,10 @@ def test_server_roundtrip(test_data_dir):
         r = urllib.request.urlopen(
             f"http://127.0.0.1:{port}/api/get_number_of_ctgs"
         )
+        assert r.headers["X-Pgrtk-Version"].startswith("pgrtk_tpu ")
         assert json.loads(r.read()) == 66
+        r = urllib.request.urlopen(f"http://127.0.0.1:{port}/api/version")
+        assert json.loads(r.read()).startswith("pgrtk_tpu ")
         name, src, _l = d.seq_info[0]
         spec = SequenceQuerySpec(
             source=src, ctg=name, bgn=100, end=3000, padding=100,
