@@ -12,9 +12,14 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+import logging
+import time
+
 from .core import frag_io, mdb, query as query_mod
 from .core.seqdb import CompactSeqDB
 from .core.spec import ShmmrSpec
+
+log = logging.getLogger("pgrtk_tpu")
 
 
 class Backend:
@@ -53,11 +58,17 @@ class SeqIndexDB:
         """(reference: ext.rs:152-181; sketch=false there)"""
         spec = ShmmrSpec(w=w, k=k, r=r, min_span=min_span, sketch=False)
         sdb = CompactSeqDB(spec)
+        t0 = time.monotonic()
         sdb.load_from_fastx(filepath)
         self.seq_db = sdb
         self.shmmr_spec = spec
         self.backend = Backend.FASTX
         self._rebuild_seq_maps_from_seq_db()
+        log.info(
+            "loaded fastx %s: %d seqs, %d shimmer-pair keys (%.2f s)",
+            filepath, len(self.seq_info), len(sdb.frag_map),
+            time.monotonic() - t0,
+        )
 
     def append_from_fastx(self, filepath: str) -> None:
         assert self.backend == Backend.FASTX, (
@@ -86,29 +97,46 @@ class SeqIndexDB:
 
     def load_from_frg_index(self, prefix: str) -> None:
         """(reference: ext.rs:131-150)"""
+        t0 = time.monotonic()
         frg = frag_io.FragFileStorage(prefix)
         self.frg_db = frg
         self.shmmr_spec = frg.spec
         self.backend = Backend.FRG
         self.seq_index = dict(frg.seq_index)
         self.seq_info = dict(frg.seq_info)
+        log.info(
+            "loaded frg index %s: %d seqs, %d keys (%.2f s)",
+            prefix, len(self.seq_info), len(frg.index_keys),
+            time.monotonic() - t0,
+        )
 
     def load_from_agc_index(self, prefix: str) -> None:
         """AGC-equivalent archive backend (reference: ext.rs:87-129)."""
         from .core.pga import PgaSeqDB
 
+        t0 = time.monotonic()
         agc = PgaSeqDB(prefix)
         self.agc_db = agc
         self.shmmr_spec = agc.spec
         self.backend = Backend.AGC
         self.seq_index = dict(agc.seq_index)
         self.seq_info = dict(agc.seq_info)
+        log.info(
+            "loaded archive index %s: %d seqs, %d keys (%.2f s)",
+            prefix, len(self.seq_info), len(agc.index_keys),
+            time.monotonic() - t0,
+        )
 
     def write_frag_and_index_files(self, file_prefix: str) -> None:
         """(reference: ext.rs:201-210)"""
         if self.seq_db is not None:
+            t0 = time.monotonic()
             frag_io.write_frag_files(self.seq_db, file_prefix)
             self.seq_db.write_mdb_midx(file_prefix)
+            log.info(
+                "wrote frg+mdb index %s (%.2f s)",
+                file_prefix, time.monotonic() - t0,
+            )
 
     def write_midx_to_text_file(self, filepath: str) -> None:
         mdb.write_midx(
