@@ -145,3 +145,24 @@ def test_sv_snapshot_through_device_wfa(test_data_dir, tmp_path, monkeypatch):
         got = open(tmp_path / name).read()
         expect = open(os.path.join(golden, name)).read()
         assert got == expect, name
+
+
+def test_batch_wfa_high_divergence_exercises_trim():
+    """~80 SNPs -> score ~240: the wavefront grows past max_wf_length=384
+    and the arbiter's adaptive trim kicks in; the device kernel must
+    replicate it (mask + lo/hi tracking) bit-exactly."""
+    from pgrtk_tpu.ops import wfa as dwfa
+
+    rng = np.random.RandomState(11)
+    t = _rand_seq(rng, 480)
+    q = _mutate(rng, t, n_snp=80)
+    got = dwfa.batch_wfa_align([(t, q)], S_max=256)
+    want = host_wfa.wfa_align_bases(t.decode(), q.decode(), 384, 3, 3, 1)
+    # if the device ran out of S_max it must have fallen back — either
+    # way the output matches the arbiter
+    assert got[0] == want
+    # also check a score definitely within S_max (fewer SNPs, still wide)
+    q2 = _mutate(rng, t, n_snp=66)
+    got2 = dwfa.batch_wfa_align([(t, q2)], S_max=256)
+    want2 = host_wfa.wfa_align_bases(t.decode(), q2.decode(), 384, 3, 3, 1)
+    assert got2[0] == want2
