@@ -22,6 +22,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize (PYTHONPATH, runs at interpreter start — i.e.
+# BEFORE this file) registers the remote-TPU plugin and sets the
+# jax_platforms CONFIG to "axon,cpu", which takes precedence over the
+# JAX_PLATFORMS env var set above.  Setting the config back is the only
+# way to actually pin tests to CPU in that environment.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 TEST_DATA = "/root/reference/pgr-db/test/test_data"
