@@ -136,6 +136,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pgr_chain_traceback.restype = None
+        lib.pgr_chain_traceback.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32),
+            np.ctypeslib.ndpointer(np.uint8),
+            np.ctypeslib.ndpointer(np.float32),
+            np.ctypeslib.ndpointer(np.int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.pgr_mdb_scan.restype = ctypes.c_int
         lib.pgr_mdb_scan.argtypes = [
             ctypes.c_char_p,
@@ -369,6 +380,64 @@ def sparse_aln(
         track = blob[p : p + 6 * m].reshape(m, 6).copy(); p += 6 * m
         chains.append((score, track))
     return chains
+
+
+def chain_traceback(
+    anchors: np.ndarray,
+    valid: np.ndarray,
+    scores: np.ndarray,
+    prev: np.ndarray,
+):
+    """Batched best-first chain extraction from device chain-DP planes
+    (native/src/chain_tb.cc), value-dedup semantics per the reference's
+    aln.rs:105-141.  Bit-identical to ops.chain.traceback but runs the
+    whole batch in C++ so the device chain path is not floored by host
+    post-processing.
+
+    anchors: (G, N, 6) uint32; valid: (G, N); scores: (G, N) f32;
+    prev: (G, N) i32.  Returns per group [(score, [(q, t), ...])].
+    """
+    lib = _load()
+    G, N = scores.shape
+    anchors = np.ascontiguousarray(anchors, dtype=np.uint32)
+    valid = np.ascontiguousarray(valid, dtype=np.uint8)
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    prev = np.ascontiguousarray(prev, dtype=np.int32)
+    out = ctypes.POINTER(ctypes.c_uint32)()
+    out_len = ctypes.c_int64()
+    lib.pgr_chain_traceback(
+        anchors.reshape(-1),
+        valid.reshape(-1),
+        scores.reshape(-1),
+        prev.reshape(-1),
+        G,
+        N,
+        ctypes.byref(out),
+        ctypes.byref(out_len),
+    )
+    blob = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    lib.pgr_free(out)
+    results = []
+    p = 0
+    for _ in range(G):
+        n_chains = int(blob[p]); p += 1
+        chains = []
+        for _ in range(n_chains):
+            score = float(blob[p : p + 1].view(np.float32)[0]); p += 1
+            m = int(blob[p]); p += 1
+            track = blob[p : p + 6 * m].reshape(m, 6); p += 6 * m
+            chains.append(
+                (
+                    score,
+                    [
+                        ((int(r[0]), int(r[1]), int(r[2])),
+                         (int(r[3]), int(r[4]), int(r[5])))
+                        for r in track
+                    ],
+                )
+            )
+        results.append(chains)
+    return results
 
 
 def mdb_scan(path: str):

@@ -242,6 +242,32 @@ def chain_scores_dense(
     return scores_t.T, prev_t.T, final["inexact"]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("lookback", "oriented", "max_gap", "penalty", "max_span"),
+)
+def _chain_scores_packed(
+    anchors, valid, penalty, max_gap=-1, oriented=False,
+    lookback=32, max_span=8,
+):
+    """chain_scores_dense with the three outputs packed into ONE i32
+    plane (G, 2N+1): [scores bitcast | prev | inexact].  The axon tunnel
+    charges a fixed round-trip per device->host array; one packed
+    download replaces three."""
+    scores, prev, inexact = chain_scores_dense(
+        anchors, valid, penalty, max_gap, oriented,
+        lookback=lookback, max_span=max_span,
+    )
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(scores, jnp.int32),
+            prev.astype(jnp.int32),
+            inexact.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+
+
 def traceback(
     scores: np.ndarray,
     prev: np.ndarray,
@@ -368,23 +394,32 @@ def chain_groups(
         if pad_n > 0:
             anchors = np.pad(anchors, ((0, 0), (0, pad_n), (0, 0)))
             valid = np.pad(valid, ((0, 0), (0, pad_n)))
-        scores, prev, inexact = chain_scores_dense(
-            jnp.asarray(anchors),
-            jnp.asarray(valid),
-            penalty,
-            mg,
-            oriented,
-            lookback=lookback,
-            max_span=max_span,
-        )
-        scores = np.asarray(scores)
-        prev = np.asarray(prev)
-        inexact = np.asarray(inexact)
+        packed = np.asarray(
+            _chain_scores_packed(
+                jnp.asarray(anchors),
+                jnp.asarray(valid),
+                penalty,
+                mg,
+                oriented,
+                lookback=lookback,
+                max_span=max_span,
+            )
+        )  # ONE device->host transfer
+        n_cols = anchors.shape[1]
+        scores = np.ascontiguousarray(packed[:, :n_cols]).view(np.float32)
+        prev = packed[:, n_cols : 2 * n_cols]
+        inexact = packed[:, 2 * n_cols] != 0
         exact_rows = np.flatnonzero(~inexact)
-        tb = traceback(
-            scores[exact_rows], prev[exact_rows], valid[exact_rows],
-            anchors[exact_rows],
-        )
+        if native.available():
+            tb = native.chain_traceback(
+                anchors[exact_rows], valid[exact_rows],
+                scores[exact_rows], prev[exact_rows],
+            )
+        else:
+            tb = traceback(
+                scores[exact_rows], prev[exact_rows], valid[exact_rows],
+                anchors[exact_rows],
+            )
         for row, chains in zip(exact_rows, tb):
             results[gids[row]] = chains
         for row in np.flatnonzero(inexact):

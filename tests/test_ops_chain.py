@@ -159,3 +159,49 @@ def test_randomized_bit_parity_with_duplicates():
             oriented=oriented, lookback=32,
         )[0]
         _assert_chains_equal(out, ref)
+
+
+def test_native_traceback_matches_python_traceback():
+    """native.chain_traceback (chain_tb.cc) must reproduce the Python
+    traceback exactly on a padded multi-group batch with duplicates and
+    invalid (padding) rows — same value-dedup candidate order, same
+    nearest-wins walk, same f32 chain score."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.native import api as native
+    from pgrtk_tpu.ops import chain as dchain
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+
+    rng = np.random.RandomState(11)
+    groups = []
+    for _ in range(6):
+        n = int(rng.randint(3, 40))
+        hits = []
+        for _ in range(n):
+            qb = int(rng.randint(0, 300))
+            qe = qb + int(rng.randint(5, 25))
+            tb = int(rng.randint(0, 300))
+            hits.append(((qb, qe, 0), (tb, tb + qe - qb, 0)))
+            if rng.rand() < 0.4:
+                hits.append(hits[-1])  # exact duplicate
+        arr = _as_arr(hits)
+        groups.append(arr[np.argsort(arr[:, 0], kind="stable")])
+    anchors, valid = dchain.pad_groups(groups)
+    scores, prev, _ = dchain.chain_scores_dense(
+        jnp.asarray(anchors), jnp.asarray(valid), 0.025, -1, False,
+        lookback=64, max_span=8,
+    )
+    scores = np.asarray(scores)
+    prev = np.asarray(prev)
+    py = dchain.traceback(scores, prev, valid, anchors)
+    cc = native.chain_traceback(anchors, valid, scores, prev)
+    assert len(py) == len(cc)
+    for a, b in zip(py, cc):
+        assert len(a) == len(b)
+        for (sa, ta), (sb, tbk) in zip(a, b):
+            assert np.float32(sa) == np.float32(sb)
+            assert ta == tbk
