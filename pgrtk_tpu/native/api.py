@@ -417,22 +417,28 @@ def chain_traceback(
     )
     blob = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
     lib.pgr_free(out)
+    # Decode via ONE bulk .tolist() pass (C-speed u32 -> Python int); the
+    # earlier per-element numpy scalar indexing cost ~1.3 s at G=4096 and
+    # dominated the whole device chain path (the C++ extraction above is
+    # ~160 ms at that scale).
+    ints = blob.tolist()
+    floats = blob.view(np.float32)
     results = []
     p = 0
     for _ in range(G):
-        n_chains = int(blob[p]); p += 1
+        n_chains = ints[p]; p += 1
         chains = []
         for _ in range(n_chains):
-            score = float(blob[p : p + 1].view(np.float32)[0]); p += 1
-            m = int(blob[p]); p += 1
-            track = blob[p : p + 6 * m].reshape(m, 6); p += 6 * m
+            score = float(floats[p]); p += 1
+            m6 = 6 * ints[p]; p += 1
+            t = ints[p : p + m6]; p += m6
             chains.append(
                 (
                     score,
                     [
-                        ((int(r[0]), int(r[1]), int(r[2])),
-                         (int(r[3]), int(r[4]), int(r[5])))
-                        for r in track
+                        ((t[j], t[j + 1], t[j + 2]),
+                         (t[j + 3], t[j + 4], t[j + 5]))
+                        for j in range(0, m6, 6)
                     ],
                 )
             )
