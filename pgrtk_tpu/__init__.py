@@ -23,6 +23,12 @@ from .core.fasta import reverse_complement  # noqa: F401
 from .core.pga import AGCFile, PgaFile  # noqa: F401
 from .core.agc import AgcFile, open_archive  # noqa: F401
 from .core.spec import ShmmrSpec  # noqa: F401
+from .core.gff_db import GFFDB, GFFRecord  # noqa: F401
+from .core.seq_variants import (  # noqa: F401
+    get_aln_fragment,
+    get_aln_map,
+    get_aln_segments,
+)
 
 
 def sparse_aln(sp_hits, max_span, penalty, max_gap=None, orientated=False):
