@@ -368,6 +368,85 @@ def sort_pairs(pairs, sid):
     )
 
 
+def pack_pair_planes(pairs, sid):
+    """Pack a (B, C) pair-plane dict into SEVEN flat (N,) u32 planes:
+    the 112-bit canonical key as four lexicographic words w0..w3, plus
+    sid, (orientation<<31 | bgn), end.  Invalid entries force all four
+    key words to 0xFFFFFFFF so they sort last and validity survives
+    round-trip (`w3 & 1`).  Requires bgn < 2^31.
+
+    Word layout of the 112-bit key (hash0 ∥ hash1, 56 bits each):
+      w0 = bits[111..80]  w1 = bits[79..48]  w2 = bits[47..16]
+      w3 = bits[15..0] << 16  (low 16 bits zero for valid entries).
+    """
+    B, C = pairs["k0_hi"].shape
+    N = B * C
+    flat = {k: v.reshape(N) for k, v in pairs.items()}
+    sid_f = jnp.broadcast_to(sid[:, None].astype(U32), (B, C)).reshape(N)
+    valid = flat["pair_valid"]
+    FF = jnp.uint32(0xFFFFFFFF)
+    k0h, k0l = flat["k0_hi"], flat["k0_lo"]
+    k1h, k1l = flat["k1_hi"], flat["k1_lo"]
+    return dict(
+        w0=jnp.where(valid, (k0h << 8) | (k0l >> 24), FF),
+        w1=jnp.where(valid, (k0l << 8) | (k1h >> 16), FF),
+        w2=jnp.where(valid, (k1h << 16) | (k1l >> 16), FF),
+        w3=jnp.where(valid, k1l << 16, FF),
+        sid=sid_f,
+        bgnori=(flat["orientation"] << 31) | flat["bgn"],
+        end=flat["end"],
+    )
+
+
+def sort_packed_planes(packed):
+    """STABLE 4-key sort of packed pair planes (pack_pair_planes layout).
+    Stability makes the explicit (sid, bgn) tie-break keys unnecessary:
+    every producer emits pairs in (sid, position) flat order, so equal
+    keys keep reference postings order for free."""
+    w0, w1, w2, w3, s, bo, e = jax.lax.sort(
+        (
+            packed["w0"], packed["w1"], packed["w2"], packed["w3"],
+            packed["sid"], packed["bgnori"], packed["end"],
+        ),
+        num_keys=4,
+        is_stable=True,
+    )
+    return dict(w0=w0, w1=w1, w2=w2, w3=w3, sid=s, bgnori=bo, end=e)
+
+
+def unpack_pair_table(packed):
+    """Packed planes -> the sort_pairs table dict (valid, key planes,
+    sid, bgn, end, orientation).  Invalid rows keep 0xFFFFFFFF keys."""
+    FF = jnp.uint32(0xFFFFFFFF)
+    w0, w1 = packed["w0"], packed["w1"]
+    w2, w3 = packed["w2"], packed["w3"]
+    va = (w3 & jnp.uint32(1)) == 0
+    return dict(
+        valid=va,
+        k0_hi=jnp.where(va, w0 >> 8, FF),
+        k0_lo=jnp.where(va, (w0 << 24) | (w1 >> 8), FF),
+        k1_hi=jnp.where(va, ((w1 & jnp.uint32(0xFF)) << 16) | (w2 >> 16), FF),
+        k1_lo=jnp.where(va, (w2 << 16) | (w3 >> 16), FF),
+        sid=packed["sid"],
+        bgn=packed["bgnori"] & jnp.uint32(0x7FFFFFFF),
+        end=packed["end"],
+        orientation=packed["bgnori"] >> 31,
+    )
+
+
+def sort_pairs_packed(pairs, sid):
+    """sort_pairs via the packed representation: 7 sort operands / 4 key
+    words instead of 9 operands / 6 key words (measured equal-speed on
+    one chip; the win is collective bytes — multi-chip steps gather the
+    packed planes, 22% less ICI traffic, and sort once after).
+
+    Reproduces sort_pairs' postings order provided the flat (row-major)
+    input order is (sid, bgn)-ordered — true for every caller: batch
+    rows carry ascending rids and mers are position-ordered in a row.
+    """
+    return unpack_pair_table(sort_packed_planes(pack_pair_planes(pairs, sid)))
+
+
 def recompact_mers(x_hi, x_lo, y_lo, keep):
     """Re-compact already-compacted (B, C) planes after a filter pass:
     single payload sort by global position (invalid -> max)."""

@@ -61,7 +61,6 @@ def sharded_sketch_index_step(
         # pair consecutive KEPT mers directly (jump-pointer next-kept
         # propagation) — the whole path to the key sort is sort-free
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
-        local = pairs_ops.sort_pairs(pr, rids)
         n_pairs_local = pr["pair_valid"].sum()
         n_mers_local = keep.sum()
         n_pairs = jax.lax.psum(n_pairs_local, axis)
@@ -69,30 +68,19 @@ def sharded_sketch_index_step(
         # any-shard overflow: callers must rebuild via the exact host
         # path when set (block-local slot loss is not silent)
         overflow = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
-        # replicated-index v1: gather every shard's pairs and sort the full
-        # table on each device (the merged sorted table IS the index)
+        # replicated-index v1: gather every shard's pairs (PACKED: 7
+        # planes instead of 9 — 22% less ICI traffic) and stable-sort
+        # the merged table ONCE on each device.  No local pre-sort: the
+        # gathered flat order is (sid, position)-ordered (ascending rids
+        # per shard, shards in axis order), which the stable sort
+        # preserves for equal keys — reference postings order for free.
+        packed = pairs_ops.pack_pair_planes(pr, rids)
         gathered = {
             kk: jax.lax.all_gather(v, axis, tiled=True)
-            for kk, v in local.items()
+            for kk, v in packed.items()
         }
-        operands = (
-            gathered["k0_hi"],
-            gathered["k0_lo"],
-            gathered["k1_hi"],
-            gathered["k1_lo"],
-            gathered["sid"],
-            gathered["bgn"],
-            gathered["end"],
-            gathered["orientation"],
-            gathered["valid"].astype(U32),
-        )
-        k0h, k0l, k1h, k1l, s, b, e, o, va = jax.lax.sort(
-            operands, num_keys=6
-        )
-        table = dict(
-            valid=va == 1,
-            k0_hi=k0h, k0_lo=k0l, k1_hi=k1h, k1_lo=k1l,
-            sid=s, bgn=b, end=e, orientation=o,
+        table = pairs_ops.unpack_pair_table(
+            pairs_ops.sort_packed_planes(gathered)
         )
         return dict(table=table, n_pairs=n_pairs, n_mers=n_mers,
                     overflow=overflow)
@@ -350,85 +338,74 @@ def sharded_index_v2_step(
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
-        local = pairs_ops.sort_pairs(pr, rids)
-        C = local["k0_hi"].shape[0]
+        # local key sort in the PACKED layout (7 planes, stable 4-key
+        # sort) — validity rides the key words (invalid = all-ones),
+        # so the route needs no separate valid plane: 7 all_to_all
+        # stacks instead of 9
+        local = pairs_ops.sort_packed_planes(
+            pairs_ops.pack_pair_planes(pr, rids)
+        )
+        C = local["w0"].shape[0]
         route_cap = route_capacity or min(
             C, max(128, -(-2 * C // n_dev))
         )
-        n_valid = local["valid"].sum().astype(jnp.int32)
+        n_valid = ((local["w3"] & U32(1)) == 0).sum().astype(jnp.int32)
 
-        # destination runs: hash0 in [d, d+1) * 2^56 / n_dev; k0_hi holds
-        # hash0 >> 32 (24 significant bits; invalid slots are 0xFFFFFFFF
-        # and sort past every range bound)
-        per = jnp.uint32((1 << 24) // n_dev)
+        # destination runs: hash0 in [d, d+1) * 2^56 / n_dev.  w0 holds
+        # hash0 >> 24, so the k0_hi (hash0 >> 32) bound b becomes b<<8 —
+        # the exact same partition (invalid slots are all-ones and sort
+        # past every bound)
+        per = jnp.uint32(((1 << 24) // n_dev) << 8)
         bounds = (jnp.arange(1, n_dev, dtype=jnp.uint32) * per)
-        offs = jnp.searchsorted(local["k0_hi"], bounds).astype(jnp.int32)
+        offs = jnp.searchsorted(local["w0"], bounds).astype(jnp.int32)
         off_full = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), offs, n_valid[None]]
         )
         cnt = off_full[1:] - off_full[:-1]
         route_overflow = (cnt > route_cap).any()
 
-        fields = (
-            "k0_hi", "k0_lo", "k1_hi", "k1_lo",
-            "sid", "bgn", "end", "orientation",
-        )
+        fields = ("w0", "w1", "w2", "w3", "sid", "bgnori", "end")
         jrow = jnp.arange(route_cap, dtype=jnp.int32)
         send = {kk: [] for kk in fields}
-        send_valid = []
         for d in range(n_dev):  # static: n_dev contiguous slices
             start = jnp.clip(off_full[d], 0, max(0, C - route_cap))
             gidx = start + jrow
             mask = (gidx >= off_full[d]) & (gidx < off_full[d + 1])
             for kk in fields:
                 v = jax.lax.dynamic_slice(local[kk], (start,), (route_cap,))
-                if kk in ("k0_hi", "k0_lo", "k1_hi", "k1_lo"):
+                if kk in ("w0", "w1", "w2", "w3"):
                     v = jnp.where(mask, v, U32(0xFFFFFFFF))
                 send[kk].append(v)
-            send_valid.append(mask)
         buf = {kk: jnp.stack(send[kk]) for kk in fields}
-        buf["valid"] = jnp.stack(send_valid)
 
         # one all_to_all: device d receives every range-d run
         recv = {
             kk: jax.lax.all_to_all(v, axis, 0, 0).reshape(-1)
             for kk, v in buf.items()
         }
-        n_mine = recv["valid"].sum()
+        n_mine = ((recv["w3"] & U32(1)) == 0).sum()
         shard_overflow = jax.lax.psum(
             (n_mine > shard_capacity).astype(jnp.int32), axis
         ) > 0
 
-        # local sort of the received buffer (invalid keys 0xFFFFFFFF sort
-        # last), padded/truncated to the static shard_capacity
+        # stable local sort of the received buffer (all-ones keys sort
+        # last; received flat order is source-device-major = ascending
+        # sid, so equal keys keep reference postings order), padded/
+        # truncated to the static shard_capacity
         rsize = n_dev * route_cap
         if rsize < shard_capacity:
             pad = shard_capacity - rsize
-            for kk in ("k0_hi", "k0_lo", "k1_hi", "k1_lo"):
+            for kk in ("w0", "w1", "w2", "w3"):
                 recv[kk] = jnp.concatenate(
                     [recv[kk], jnp.full((pad,), U32(0xFFFFFFFF))]
                 )
-            for kk in ("sid", "bgn", "end", "orientation"):
+            for kk in ("sid", "bgnori", "end"):
                 recv[kk] = jnp.concatenate(
                     [recv[kk], jnp.zeros((pad,), recv[kk].dtype)]
                 )
-            recv["valid"] = jnp.concatenate(
-                [recv["valid"], jnp.zeros((pad,), jnp.bool_)]
-            )
-        k0h, k0l, k1h, k1l, s, b, e, o, va = jax.lax.sort(
-            (
-                recv["k0_hi"], recv["k0_lo"], recv["k1_hi"], recv["k1_lo"],
-                recv["sid"], recv["bgn"], recv["end"],
-                recv["orientation"], recv["valid"].astype(U32),
-            ),
-            num_keys=6,
-        )
-        shard = dict(
-            valid=va[:shard_capacity].astype(bool),
-            k0_hi=k0h[:shard_capacity], k0_lo=k0l[:shard_capacity],
-            k1_hi=k1h[:shard_capacity], k1_lo=k1l[:shard_capacity],
-            sid=s[:shard_capacity], bgn=b[:shard_capacity],
-            end=e[:shard_capacity], orientation=o[:shard_capacity],
+        sorted_packed = pairs_ops.sort_packed_planes(recv)
+        shard = pairs_ops.unpack_pair_table(
+            {kk: v[:shard_capacity] for kk, v in sorted_packed.items()}
         )
         n_pairs = jax.lax.psum(shard["valid"].sum(), axis)
         planes, row, probe_overflow = _shard_probe_planes(shard, bits)

@@ -236,3 +236,48 @@ def test_device_pipeline_parity_at_batch_scale():
     assert sum(len(v) for v in got.values()) == \
         sum(len(v) for v in expected.values())
     assert got == expected
+
+
+def test_sort_pairs_packed_matches_sort_pairs():
+    """The packed-key sort (4 lexicographic u32 words + stable sort)
+    must reproduce sort_pairs' table exactly on the valid prefix,
+    including postings order under heavy key duplication."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import pairs as pairs_ops
+
+    rng = np.random.default_rng(42)
+    B, C = 8, 2048
+    h0 = rng.integers(0, 1 << 56, size=(B, C), dtype=np.uint64)
+    h1 = rng.integers(0, 1 << 56, size=(B, C), dtype=np.uint64)
+    dup = rng.random((B, C)) < 0.3  # heavy duplication -> tie order
+    h0[dup] = h0[0, 0]
+    h1[dup] = h1[0, 0]
+    swap = h0 > h1
+    k0 = np.where(swap, h1, h0)
+    k1 = np.where(swap, h0, h1)
+    pos = np.sort(
+        rng.integers(1, 1 << 20, size=(B, C)).astype(np.uint32), axis=1
+    )
+    valid = rng.random((B, C)) < 0.9
+    pairs = dict(
+        k0_hi=jnp.asarray((k0 >> 32).astype(np.uint32)),
+        k0_lo=jnp.asarray((k0 & 0xFFFFFFFF).astype(np.uint32)),
+        k1_hi=jnp.asarray((k1 >> 32).astype(np.uint32)),
+        k1_lo=jnp.asarray((k1 & 0xFFFFFFFF).astype(np.uint32)),
+        bgn=jnp.asarray(pos),
+        end=jnp.asarray(pos + 7),
+        orientation=jnp.asarray(swap.astype(np.uint32)),
+        pair_valid=jnp.asarray(valid),
+    )
+    sid = jnp.arange(B, dtype=jnp.uint32)
+    a = {k: np.asarray(v) for k, v in pairs_ops.sort_pairs(pairs, sid).items()}
+    b = {
+        k: np.asarray(v)
+        for k, v in pairs_ops.sort_pairs_packed(pairs, sid).items()
+    }
+    nv = a["valid"].sum()
+    assert nv == b["valid"].sum()
+    for k in ("k0_hi", "k0_lo", "k1_hi", "k1_lo", "sid", "bgn", "end",
+              "orientation"):
+        assert np.array_equal(a[k][:nv], b[k][:nv]), k
