@@ -13,6 +13,8 @@ import os
 import sys
 from concurrent.futures import ThreadPoolExecutor
 
+import numpy as np
+
 from ..api import SeqIndexDB
 from ..core.fasta import read_fastx_all, reverse_complement
 
@@ -34,6 +36,11 @@ def merge_regions_for_query(
     (reference: pgr-query.rs:167-285).
 
     Returns {sid: [(bgn, end, len, orientation, aln)]}.
+
+    Chain tracks may be lists of HitPair tuples or (m, 6) uint32 ndarrays
+    (the batch-device path's tuple-free representation); both produce
+    identical regions.  Array alns travel as LISTS of arrays so region
+    merging stays list concatenation.
     """
     sid_to_alns = {}
     for sid, alns in query_results:
@@ -41,20 +48,37 @@ def merge_regions_for_query(
         r_count = 0
         for _score, aln in alns:
             if len(aln) > 2:
-                for hp in aln:
-                    if hp[0][2] == hp[1][2]:
-                        f_count += 1
-                    else:
-                        r_count += 1
+                # NOTE the reference accumulates f/r counts ACROSS chains
+                # of one target while voting per chain (pgr-query.rs:171-
+                # 186) — preserved exactly
+                if isinstance(aln, np.ndarray):
+                    f = int((aln[:, 2] == aln[:, 5]).sum())
+                    f_count += f
+                    r_count += len(aln) - f
+                else:
+                    for hp in aln:
+                        if hp[0][2] == hp[1][2]:
+                            f_count += 1
+                        else:
+                            r_count += 1
                 orientation = 0 if f_count > r_count else 1
                 sid_to_alns.setdefault(sid, []).append((aln, orientation))
 
     aln_range = {}
     for sid, alns in sid_to_alns.items():
         for aln, orientation in alns:
-            tc = sorted((hp[1][0], hp[1][1]) for hp in aln)
-            bgn = tc[0][0]
-            end = tc[-1][1]
+            if isinstance(aln, np.ndarray):
+                # reference takes sorted (t_bgn, t_end) pairs: bgn from
+                # the lexicographically smallest, end from the largest
+                tb = aln[:, 3]
+                bgn = int(tb.min())
+                mx = tb.max()
+                end = int(aln[tb == mx, 4].max())
+                aln = [aln]
+            else:
+                tc = sorted((hp[1][0], hp[1][1]) for hp in aln)
+                bgn = tc[0][0]
+                end = tc[-1][1]
             aln_range.setdefault(sid, []).append(
                 (bgn, end, end - bgn, orientation, aln)
             )
@@ -129,6 +153,7 @@ def run_query(
             max_query_count,
             max_target_count,
             max_aln_chain_span,
+            as_arrays=True,  # tuple-free tracks; merge/emit are array-aware
         )
 
     def one(idx_rec):
@@ -157,21 +182,31 @@ def run_query(
             ctg, src, _ctg_len = db.seq_info[sid]
             src = src if src is not None else "N/A"
             for b, e, _l, orientation, aln in regions[sid]:
-                aln = sorted(aln)
-                q_bgn = aln[0][0][0]
-                q_end = aln[-1][0][1]
+                if aln and isinstance(aln[0], np.ndarray):
+                    # array representation: first/last row of the
+                    # lexicographic row order == sorted(aln)[0]/[-1]
+                    hp_rows = np.vstack(aln)
+                    order = np.lexsort(tuple(hp_rows.T[::-1]))
+                    q_bgn = int(hp_rows[order[0], 0])
+                    q_end = int(hp_rows[order[-1], 1])
+                    n_anchors = len(hp_rows)
+                else:
+                    aln = sorted(aln)
+                    q_bgn = aln[0][0][0]
+                    q_end = aln[-1][0][1]
+                    n_anchors = len(aln)
                 base = os.path.splitext(os.path.basename(src))[0]
                 target_seq_name = f"{base}::{ctg}_{b}_{e}_{orientation}"
                 if bed_summary:
                     rows.append(
                         f"{ctg}\t{b}\t{e}\t{q_name}\t#AAAAAA\t{orientation}\t"
-                        f"{q_len}\t{len(aln)}\t{idx}\t{src}\t{q_bgn}\t{q_end}\t"
+                        f"{q_len}\t{n_anchors}\t{idx}\t{src}\t{q_bgn}\t{q_end}\t"
                         f"{target_seq_name}"
                     )
                 else:
                     rows.append(
                         f"{idx:03}\t{q_name}\t{q_bgn}\t{q_end}\t{q_len}\t"
-                        f"{len(aln)}\t{src}\t{ctg}\t{b}\t{e}\t{orientation}\t"
+                        f"{n_anchors}\t{src}\t{ctg}\t{b}\t{e}\t{orientation}\t"
                         f"{target_seq_name}"
                     )
                 fasta_jobs.append((sid, b, e, orientation, target_seq_name))

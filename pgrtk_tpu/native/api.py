@@ -387,6 +387,7 @@ def chain_traceback(
     valid: np.ndarray,
     scores: np.ndarray,
     prev: np.ndarray,
+    as_arrays: bool = False,
 ):
     """Batched best-first chain extraction from device chain-DP planes
     (native/src/chain_tb.cc), value-dedup semantics per the reference's
@@ -395,7 +396,10 @@ def chain_traceback(
     post-processing.
 
     anchors: (G, N, 6) uint32; valid: (G, N); scores: (G, N) f32;
-    prev: (G, N) i32.  Returns per group [(score, [(q, t), ...])].
+    prev: (G, N) i32.  Returns per group [(score, [(q, t), ...])], or
+    with as_arrays=True [(score, track (m, 6) uint32)] — ~1.7 us/anchor
+    of Python tuple building skipped; rows are
+    (q_bgn, q_end, q_ori, t_bgn, t_end, t_ori).
     """
     lib = _load()
     G, N = scores.shape
@@ -417,6 +421,20 @@ def chain_traceback(
     )
     blob = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
     lib.pgr_free(out)
+    if as_arrays:
+        floats = blob.view(np.float32)
+        results = []
+        p = 0
+        for _ in range(G):
+            n_chains = int(blob[p]); p += 1
+            chains = []
+            for _ in range(n_chains):
+                score = float(floats[p]); p += 1
+                m6 = 6 * int(blob[p]); p += 1
+                chains.append((score, blob[p : p + m6].reshape(-1, 6)))
+                p += m6
+            results.append(chains)
+        return results
     # Decode via ONE bulk .tolist() pass (C-speed u32 -> Python int); the
     # earlier per-element numpy scalar indexing cost ~1.3 s at G=4096 and
     # dominated the whole device chain path (the C++ extraction above is

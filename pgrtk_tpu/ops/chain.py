@@ -361,6 +361,7 @@ def chain_groups(
     max_gap=None,
     oriented: bool = False,
     lookback: int = 32,
+    as_arrays: bool = False,
 ):
     """Chain many anchor groups on device with host fallback.
 
@@ -370,6 +371,11 @@ def chain_groups(
     Returns: list (per group) of [(score, [HitPair, ...])], bit-identical
     to `core.aln_ref.sparse_aln`.  Groups whose scan would exceed the
     lookback window are re-run on the exact host path.
+
+    With as_arrays=True tracks stay (m, 6) uint32 ndarrays (same rows,
+    no Python tuple building — the tuple decode costs ~1.7 us/anchor and
+    dominates large batches); array-aware consumers (pgr-query merge)
+    produce byte-identical output from either representation.
     """
     from ..native import api as native
 
@@ -414,12 +420,23 @@ def chain_groups(
             tb = native.chain_traceback(
                 anchors[exact_rows], valid[exact_rows],
                 scores[exact_rows], prev[exact_rows],
+                as_arrays=as_arrays,
             )
         else:
             tb = traceback(
                 scores[exact_rows], prev[exact_rows], valid[exact_rows],
                 anchors[exact_rows],
             )
+            if as_arrays:
+                tb = [
+                    [
+                        (s, np.asarray(
+                            [[*q, *t] for q, t in track], dtype=np.uint32
+                        ).reshape(-1, 6))
+                        for s, track in chains
+                    ]
+                    for chains in tb
+                ]
         for row, chains in zip(exact_rows, tb):
             results[gids[row]] = chains
         for row in np.flatnonzero(inexact):
@@ -427,15 +444,21 @@ def chain_groups(
             chains = native.sparse_aln(
                 sorted_groups[gi], max_span, penalty, max_gap, oriented
             )
-            results[gi] = [
-                (
-                    score,
-                    [
-                        ((int(r[0]), int(r[1]), int(r[2])),
-                         (int(r[3]), int(r[4]), int(r[5])))
-                        for r in track
-                    ],
-                )
-                for score, track in chains
-            ]
+            if as_arrays:
+                results[gi] = [
+                    (float(score), np.asarray(track, dtype=np.uint32))
+                    for score, track in chains
+                ]
+            else:
+                results[gi] = [
+                    (
+                        score,
+                        [
+                            ((int(r[0]), int(r[1]), int(r[2])),
+                             (int(r[3]), int(r[4]), int(r[5])))
+                            for r in track
+                        ],
+                    )
+                    for score, track in chains
+                ]
     return results

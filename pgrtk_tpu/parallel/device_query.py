@@ -107,12 +107,16 @@ def batch_query_to_hps(
     max_gap=None,
     oriented: bool = False,
     device_chain: bool = True,
+    as_arrays: bool = False,
 ):
     """Device-sketched, device-chained batch version of
     query_fragment_to_hps: sketch + index probe on device, count-filter on
     host, then ONE batched device chain-DP over every (query, target)
     anchor group (ops/chain.py — bit-exact, with per-group host fallback
-    when a group's scan exceeds the lookback window)."""
+    when a group's scan exceeds the lookback window).
+
+    as_arrays=True keeps chain tracks as (m, 6) uint32 ndarrays (skips
+    the Python tuple decode; see ops.chain.chain_groups)."""
     raw_per_query = batch_raw_query(db, query_seqs)
     if not device_chain:
         return [
@@ -140,7 +144,8 @@ def batch_query_to_hps(
             layout.append((qidx, sid))
 
     chained = chain_ops.chain_groups(
-        groups, penalty, max_span=span, max_gap=max_gap, oriented=oriented
+        groups, penalty, max_span=span, max_gap=max_gap, oriented=oriented,
+        as_arrays=as_arrays,
     )
     out = [[] for _ in query_seqs]
     for (qidx, sid), chains in zip(layout, chained):
