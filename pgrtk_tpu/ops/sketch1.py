@@ -11,13 +11,16 @@ arbiter; see tests): the automaton's minimum always equals the trailing
 w-window minimum with rightmost-tie selection, EXCEPT in the suppressed
 boundary region.  Therefore:
 
-  W[t], P[t] : trailing w-window min + rightmost argmin   (van Herk scans)
-  (B-emission needs no second scan: x_p <= min of the previous w-1
-   elements <=> the rightmost-tie argmin of the w-window at p is p itself)
-  A-event(q) : q == k+w-1 (warm-up expiry) or P[q-1] == q-w (min expiry)
+  W2[p]      : trailing (w-1)-window min over [p-w+1, p-1]  (the ONLY
+               sparse table needed: both rightmost-tie argmin tests
+               reduce to value compares against it)
+  A-event(q) : q == k+w-1 (warm-up expiry) or x_{q-w} <lex W2[q]
+               (min expiry: the leftmost slot strictly beats the rest)
   A-emitted(j): exists q in [j, j+w-1] with A(q) and W[q] == x_j
                <=> leading-w-window max of (A ? W : 0) at j >= x_j
-  B-emitted(p): P[p] == p, w+k <= p < len-w+k, and no A at p
+               (W[q] = min(W2[q], x_q), one elementwise combine)
+  B-emitted(p): x_p <=lex W2[p] (rightmost tie -> argmin is p itself),
+               w+k <= p < len-w+k, and no A at p
 
 The invariant only breaks once a would-be-B is suppressed by the interior
 upper bound (p >= len-w+k), so positions after t0 = len-w+k-1 are finished
@@ -46,21 +49,13 @@ U32 = jnp.uint32
 FF = jnp.uint32(0xFFFFFFFF)
 
 
-def _lex_min(a, b):
-    """Minimum of two (x_hi, x_lo, negpos) triples; ties -> the one with
-    smaller negpos (i.e. larger position: rightmost tie)."""
-    ah, al, ap = a
-    bh, bl, bp = b
-    a_less = (
-        (ah < bh)
-        | ((ah == bh) & (al < bl))
-        | ((ah == bh) & (al == bl) & (ap <= bp))
-    )
-    return (
-        jnp.where(a_less, ah, bh),
-        jnp.where(a_less, al, bl),
-        jnp.where(a_less, ap, bp),
-    )
+def _lex_min2(a, b):
+    """Value-only lex minimum of two (x_hi, x_lo) pairs (equal values
+    need no tie-break — either operand yields the same value)."""
+    ah, al = a
+    bh, bl = b
+    a_less = (ah < bh) | ((ah == bh) & (al <= bl))
+    return jnp.where(a_less, ah, bh), jnp.where(a_less, al, bl)
 
 
 def _shift_right(v, n, fill):
@@ -97,19 +92,18 @@ def _sparse_table(channels, win, combine, fills, leading=True):
 
 
 def _trailing_window_min(xh, xl, valid, win: int):
-    """Trailing-window lex-min of each (B, L) position over [t-win+1, t].
-    Returns (W_hi, W_lo, P_pos) with P = rightmost-tie argmin position
-    (0xFFFFFFFF where the window is empty)."""
-    B, L = xh.shape
+    """Trailing-window value-only lex-min of each (B, L) position over
+    [t-win+1, t] (0xFFFFFFFF pairs where the window is empty).
+
+    No argmin channel: the two rightmost-tie argmin consumers reduce to
+    value comparisons against the (w-1)-window min (see
+    sketch_mode1_dense), which drops a third of the sparse-table
+    shift/select traffic."""
     h = jnp.where(valid, xh, FF)
     lo = jnp.where(valid, xl, FF)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1).astype(U32)
-    npos = jnp.where(valid, FF - pos, FF)
-    lead = _sparse_table((h, lo, npos), win, _lex_min, (FF, FF, FF))
-    W = tuple(_shift_right(v, win - 1, FF) for v in lead)
-    Wh, Wl, Wnp = W
-    P = jnp.where(Wnp == FF, FF, FF - Wnp)
-    return Wh, Wl, P
+    lead = _sparse_table((h, lo), win, _lex_min2, (FF, FF))
+    Wh, Wl = (_shift_right(v, win - 1, FF) for v in lead)
+    return Wh, Wl
 
 
 def _lex_max2(a, b):
@@ -154,16 +148,30 @@ def sketch_mode1_dense(
     have = have & ~palindrome
     palindrome_seen = (palindrome & in_seq & (pos >= k)).any(axis=1)
 
-    Wh, Wl, P = _trailing_window_min(x[0], x[1], have, w)
+    # (w-1)-window trailing min, shifted to cover [p-w+1, p-1] at p —
+    # the single table both argmin consumers reduce to (value compares
+    # replace the old 3rd rightmost-tie argmin channel)
+    W2h, W2l = _trailing_window_min(x[0], x[1], have, w - 1)
+    W2h_p = _shift_right(W2h, 1, FF)
+    W2l_p = _shift_right(W2l, 1, FF)
 
     posu = pos.astype(U32)
     t0 = jnp.minimum(lengths - w + k - 1, lengths - 1)[:, None]
 
+    hv_h = jnp.where(have, x[0], FF)
+    hv_l = jnp.where(have, x[1], FF)
+    # full w-window min at p = min([p-w+1, p-1], x[p])
+    Wh, Wl = _lex_min2((W2h_p, W2l_p), (hv_h, hv_l))
+
     # A events
     first_a = posu == jnp.uint32(k + w - 1)
-    P_prev = jnp.roll(P, 1, axis=1).at[:, 0].set(FF)
+    # min expiry: rightmost argmin of the window ending p-1 sits at its
+    # leftmost slot p-w  <=>  x[p-w] <lex min(x[p-w+1 .. p-1])
+    # (a later tie would steal the rightmost argmin)
+    xw_h = _shift_right(hv_h, w, FF)
+    xw_l = _shift_right(hv_l, w, FF)
     a_expire = (
-        (P_prev == (posu - jnp.uint32(w)))
+        ((xw_h < W2h_p) | ((xw_h == W2h_p) & (xw_l < W2l_p)))
         & (pos >= k + w)
         & (pos <= t0)
     )
@@ -183,10 +191,11 @@ def sketch_mode1_dense(
         & ((Mh > x[0]) | ((Mh == x[0]) & (Ml >= x[1])))
     )
 
-    # B-emitted: rightmost-tie argmin of the trailing w-window is p itself
+    # B-emitted: rightmost-tie argmin of the trailing w-window is p
+    # itself  <=>  x[p] <=lex min(x[p-w+1 .. p-1])
     b_emit = (
         have
-        & (P == posu)
+        & ((hv_h < W2h_p) | ((hv_h == W2h_p) & (hv_l <= W2l_p)))
         & (pos >= w + k)
         & (pos <= t0)
         & ~A

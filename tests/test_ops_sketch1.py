@@ -20,6 +20,10 @@ def _seqs(test_data_dir):
     seqs = [r.seq for r in recs]
     seqs += [bytes(rng.choice(b"ACGTN") for _ in range(2500)) for _ in range(2)]
     seqs += [bytes(rng.choice(b"ACGT") for _ in range(300))]  # short: fallback
+    # tandem repeats: identical k-mers recur inside every w-window, so
+    # the rightmost-tie argmin and strict-vs-<= expiry paths are
+    # exercised on exact hash ties
+    seqs += [b"ACGGTTACGAT" * 250, b"ACGTTGCAATCGGATCGTTAAC" * 120]
     return seqs
 
 
