@@ -168,7 +168,19 @@ def sort_adj_list_by_weighted_dfs(
 
     Returns [(node, parent, coverage, is_leaf, rank, branch_id,
     branch_rank)].
+
+    Large graphs skip the Python dict digraph entirely: edges intern to
+    ids vectorized and the C++ walk runs over CSR arrays.
     """
+    if len(adj_list) >= 4096:
+        from ..native import api as native
+
+        if native.available():
+            return _walk_from_edges(
+                adj_list,
+                lambda h0, h1: len(frag_map[(h0, h1)]),
+                start,
+            )
     g = _Digraph()
     score: Dict[Node, int] = {}
     for _sid, v, w in adj_list:
@@ -180,6 +192,103 @@ def sort_adj_list_by_weighted_dfs(
     return weighted_dfs_walk(g, score, start)
 
 
+def _walk_from_edges(adj_list: Sequence[AdjPair], pair_score, start: Node):
+    """Array-native marshalling for the C++ walk: intern (h0, h1) pairs
+    with one np.unique, node id = 2*pair_rank + orientation (so the
+    skew-symmetric reverse is id ^ 1), dedup edges keeping FIRST
+    insertion (Python dict semantics), group to CSR with stable sorts
+    so per-node neighbor order is insertion order.  Bit-identical to the
+    _Digraph walk; avoids ~2 us/edge of dict construction."""
+    import numpy as np
+
+    from ..native import api as native
+
+    E = len(adj_list)
+    flat = np.fromiter(
+        (
+            x
+            for _s, v, w in adj_list
+            for x in (v[0], v[1], v[2], w[0], w[1], w[2])
+        ),
+        dtype=np.uint64,
+        count=6 * E,
+    ).reshape(E, 6)
+    all_pairs = np.concatenate([flat[:, 0:2], flat[:, 3:5]])
+    # unique rows via a complex128 VIEW: for u64 values below
+    # 0x7FF0... (true for 56-bit shimmer hashes) the f64 bit pattern is
+    # non-negative and never NaN, so complex lexicographic order ==
+    # integer lexicographic order — and np.unique on 1-D complex is ~8x
+    # faster than axis=0 row unique
+    assert int(all_pairs.max(initial=0)) < 0x7FF0000000000000
+    cview = np.ascontiguousarray(all_pairs).view(np.complex128).reshape(-1)
+    ucx, inv = np.unique(cview, return_inverse=True)
+    uniq = ucx.view(np.uint64).reshape(-1, 2)
+    inv = inv.reshape(-1).astype(np.int64)
+    src_id = inv[:E] * 2 + flat[:, 2].astype(np.int64)
+    dst_id = inv[E:] * 2 + flat[:, 5].astype(np.int64)
+    n_pairs = len(uniq)
+    N = 2 * n_pairs
+
+    # node key table (heap tie-breaks compare the (h0, h1, ori) tuple)
+    keys = np.empty((N, 3), dtype=np.uint64)
+    keys[0::2, 0:2] = uniq
+    keys[1::2, 0:2] = uniq
+    keys[0::2, 2] = 0
+    keys[1::2, 2] = 1
+    rev = np.arange(N, dtype=np.uint32) ^ np.uint32(1)
+
+    ul = uniq.tolist()  # python ints: ~10x faster to iterate than rows
+    sc_pairs = np.fromiter(
+        (pair_score(p[0], p[1]) for p in ul),
+        dtype=np.int64,
+        count=n_pairs,
+    )
+    sc = np.repeat(sc_pairs, 2)
+
+    # first-insertion dedup, then stable group by endpoint
+    eid = (src_id.astype(np.uint64) << np.uint64(32)) | dst_id.astype(
+        np.uint64
+    )
+    _, first = np.unique(eid, return_index=True)
+    keep = np.sort(first)
+    s2, d2 = src_id[keep], dst_id[keep]
+    order_s = np.argsort(s2, kind="stable")
+    succ_idx = d2[order_s].astype(np.uint32)
+    succ_indptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(np.bincount(s2, minlength=N), out=succ_indptr[1:])
+    order_d = np.argsort(d2, kind="stable")
+    pred_idx = s2[order_d].astype(np.uint32)
+    pred_indptr = np.zeros(N + 1, dtype=np.int64)
+    np.cumsum(np.bincount(d2, minlength=N), out=pred_indptr[1:])
+
+    # start id: uniq is lexicographically sorted by np.unique
+    lo = int(np.searchsorted(uniq[:, 0], np.uint64(start[0]), "left"))
+    hi = int(np.searchsorted(uniq[:, 0], np.uint64(start[0]), "right"))
+    p = lo + int(
+        np.searchsorted(uniq[lo:hi, 1], np.uint64(start[1]), "left")
+    )
+    start_id = 2 * p + start[2]
+
+    rows = native.dfs_walk(
+        keys, rev, sc, succ_indptr,
+        succ_idx if len(succ_idx) else np.zeros(1, np.uint32),
+        pred_indptr,
+        pred_idx if len(pred_idx) else np.zeros(1, np.uint32),
+        start_id,
+    )
+    out = []
+    for r in rows.tolist():
+        p0, o0 = r[0] >> 1, r[0] & 1
+        node = (ul[p0][0], ul[p0][1], o0)
+        if r[1] >= 0:
+            p1, o1 = r[1] >> 1, r[1] & 1
+            parent = (ul[p1][0], ul[p1][1], o1)
+        else:
+            parent = None
+        out.append((node, parent, r[2], bool(r[3]), r[4], r[5], r[6]))
+    return out
+
+
 def build_digraph(adj_list: Sequence[AdjPair]) -> "_Digraph":
     g = _Digraph()
     for _sid, v, w in adj_list:
@@ -187,10 +296,82 @@ def build_digraph(adj_list: Sequence[AdjPair]) -> "_Digraph":
     return g
 
 
+def _weighted_dfs_walk_native(g: "_Digraph", score, start: Node):
+    """Marshal the graph to interned-id CSR arrays (insertion order —
+    Python dict semantics ARE the walk-order contract) and run the C++
+    walk (native/src/dfs_walk.cc).  Bit-identical output to the Python
+    walk below; ~two decades faster at chromosome scale."""
+    import numpy as np
+
+    from ..native import api as native
+
+    base = list(g.succ.keys())
+    idx: Dict[Node, int] = {v: i for i, v in enumerate(base)}
+    nodes = list(base)
+    for v in base:
+        r = _rev(v)
+        if r not in idx:
+            idx[r] = len(nodes)
+            nodes.append(r)  # virtual: reverse absent from the graph
+    N = len(nodes)
+    keys = np.asarray(nodes, dtype=np.uint64)
+    rev = np.fromiter(
+        (idx[_rev(v)] for v in nodes), dtype=np.uint32, count=N
+    )
+    sc = np.fromiter(
+        (score.get(v, 0) for v in nodes), dtype=np.int64, count=N
+    )
+    succ_indptr = np.zeros(N + 1, dtype=np.int64)
+    succ_list: List[int] = []
+    pred_indptr = np.zeros(N + 1, dtype=np.int64)
+    pred_list: List[int] = []
+    for i, v in enumerate(nodes):
+        for w in g.succ.get(v, ()):
+            succ_list.append(idx[w])
+        succ_indptr[i + 1] = len(succ_list)
+        for u in g.pred.get(v, ()):
+            pred_list.append(idx[u])
+        pred_indptr[i + 1] = len(pred_list)
+    rows = native.dfs_walk(
+        keys,
+        rev,
+        sc,
+        succ_indptr,
+        np.asarray(succ_list or [0], dtype=np.uint32),
+        pred_indptr,
+        np.asarray(pred_list or [0], dtype=np.uint32),
+        idx[start],
+    )
+    out = []
+    for r in rows.tolist():
+        out.append(
+            (
+                nodes[r[0]],
+                nodes[r[1]] if r[1] >= 0 else None,
+                r[2],
+                bool(r[3]),
+                r[4],
+                r[5],
+                r[6],
+            )
+        )
+    return out
+
+
 def weighted_dfs_walk(g: "_Digraph", score: Dict[Node, int], start: Node):
-    """The BiDiGraphWeightedDfs walk itself, with caller-provided scores
-    (used directly by the consensus module; reference:
-    graph_utils.rs:63-290)."""
+    """The BiDiGraphWeightedDfs walk, with caller-provided scores (used
+    directly by the consensus module; reference: graph_utils.rs:63-290).
+    Large graphs run the bit-identical C++ walk; small ones stay in
+    Python (marshalling latency)."""
+    if len(g.succ) >= 512:
+        from ..native import api as native
+
+        if native.available():
+            return _weighted_dfs_walk_native(g, score, start)
+    return _weighted_dfs_walk_py(g, score, start)
+
+
+def _weighted_dfs_walk_py(g: "_Digraph", score: Dict[Node, int], start: Node):
     out = []
     discovered: Set[Node] = set()
     # max-heap keyed on (score, node) — Rust BinaryHeap pops the largest

@@ -156,6 +156,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.pgr_dfs_walk.restype = None
+        lib.pgr_dfs_walk.argtypes = [
+            np.ctypeslib.ndpointer(np.uint64),   # node_keys (n, 3)
+            np.ctypeslib.ndpointer(np.uint32),   # rev (n,)
+            np.ctypeslib.ndpointer(np.int64),    # score (n,)
+            np.ctypeslib.ndpointer(np.int64),    # succ_indptr (n+1,)
+            np.ctypeslib.ndpointer(np.uint32),   # succ_idx
+            np.ctypeslib.ndpointer(np.int64),    # pred_indptr (n+1,)
+            np.ctypeslib.ndpointer(np.uint32),   # pred_idx
+            ctypes.c_int64,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -462,6 +476,41 @@ def chain_traceback(
             )
         results.append(chains)
     return results
+
+
+def dfs_walk(
+    node_keys: np.ndarray,
+    rev: np.ndarray,
+    score: np.ndarray,
+    succ_indptr: np.ndarray,
+    succ_idx: np.ndarray,
+    pred_indptr: np.ndarray,
+    pred_idx: np.ndarray,
+    start: int,
+) -> np.ndarray:
+    """Weighted bidirected DFS over interned node ids
+    (native/src/dfs_walk.cc; reference walk graph_utils.rs:63-290).
+    Returns (n_rows, 7) int64:
+    (node, parent|-1, score, is_leaf, rank, branch, branch_rank)."""
+    lib = _load()
+    out = ctypes.POINTER(ctypes.c_int64)()
+    out_len = ctypes.c_int64()
+    lib.pgr_dfs_walk(
+        np.ascontiguousarray(node_keys, dtype=np.uint64),
+        np.ascontiguousarray(rev, dtype=np.uint32),
+        np.ascontiguousarray(score, dtype=np.int64),
+        np.ascontiguousarray(succ_indptr, dtype=np.int64),
+        np.ascontiguousarray(succ_idx, dtype=np.uint32),
+        np.ascontiguousarray(pred_indptr, dtype=np.int64),
+        np.ascontiguousarray(pred_idx, dtype=np.uint32),
+        len(rev),
+        int(start),
+        ctypes.byref(out),
+        ctypes.byref(out_len),
+    )
+    blob = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    lib.pgr_free(out)
+    return blob.reshape(-1, 7)
 
 
 def mdb_scan(path: str):

@@ -1,0 +1,97 @@
+"""Native C++ weighted-DFS walk vs the Python walk — bit-identical
+output on adversarial random bidirected graphs (score ties, self loops,
+reverse-pair edges, multiple components)."""
+import random
+
+import pytest
+
+from pgrtk_tpu.graph import bundles as gb
+from pgrtk_tpu.native import api as native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native lib unavailable"
+)
+
+
+def _random_graph(rng, n_pairs, n_edges, max_score):
+    """Random skew-symmetric graph over n_pairs (h0,h1) vertices (both
+    orientations), with the reverse-complement edge emitted alongside
+    each edge like the adjacency builder does."""
+    verts = []
+    for _ in range(n_pairs):
+        h0 = rng.randrange(1 << 24)
+        h1 = rng.randrange(1 << 24)
+        verts.append((h0, h1))
+    g = gb.build_digraph([])
+    score = {}
+    edges = []
+    for _ in range(n_edges):
+        a = verts[rng.randrange(len(verts))] + (rng.randrange(2),)
+        b = verts[rng.randrange(len(verts))] + (rng.randrange(2),)
+        edges.append((0, a, b))
+        edges.append((0, gb._rev(b), gb._rev(a)))
+    g = gb.build_digraph(edges)
+    for v in g.succ:
+        # heavy tie collisions: few distinct scores
+        score.setdefault(v, rng.randrange(max_score) + 1)
+        score.setdefault(gb._rev(v), score[v])
+    return g, score
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "n_pairs,n_edges,max_score", [(40, 120, 3), (300, 900, 4), (500, 2500, 2)]
+)
+def test_native_walk_matches_python(seed, n_pairs, n_edges, max_score):
+    rng = random.Random(seed)
+    g, score = _random_graph(rng, n_pairs, n_edges, max_score)
+    if not g.succ:
+        pytest.skip("empty graph")
+    start = next(iter(g.succ))
+    py = gb._weighted_dfs_walk_py(g, score, start)
+    cc = gb._weighted_dfs_walk_native(g, score, start)
+    assert len(py) == len(cc)
+    for i, (a, b) in enumerate(zip(py, cc)):
+        assert a == b, (i, a, b)
+
+
+def test_dispatch_threshold_uses_native():
+    rng = random.Random(9)
+    g, score = _random_graph(rng, 400, 1600, 3)  # >= 512 directed nodes
+    assert len(g.succ) >= 512
+    start = next(iter(g.succ))
+    via_public = gb.weighted_dfs_walk(g, score, start)
+    assert via_public == gb._weighted_dfs_walk_py(g, score, start)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_edge_array_path_matches_digraph_path(seed):
+    """_walk_from_edges (vectorized intern + CSR + C++ walk) must equal
+    the _Digraph + Python walk on sort_adj_list-style inputs."""
+    rng = random.Random(seed)
+    n_pairs = 200
+    pairs = [
+        (rng.randrange(1 << 30), rng.randrange(1 << 30))
+        for _ in range(n_pairs)
+    ]
+    frag_map = {p: [None] * (rng.randrange(5) + 1) for p in pairs}
+    adj = []
+    for _ in range(600):
+        a = pairs[rng.randrange(n_pairs)] + (rng.randrange(2),)
+        b = pairs[rng.randrange(n_pairs)] + (rng.randrange(2),)
+        adj.append((0, a, b))
+        adj.append((0, gb._rev(b), gb._rev(a)))
+    start = adj[0][1]
+
+    g = gb.build_digraph(adj)
+    score = {}
+    for _s, v, w in adj:
+        score.setdefault(v, len(frag_map[(v[0], v[1])]))
+        score.setdefault(w, len(frag_map[(w[0], w[1])]))
+    py = gb._weighted_dfs_walk_py(g, score, start)
+    arr = gb._walk_from_edges(
+        adj, lambda h0, h1: len(frag_map[(h0, h1)]), start
+    )
+    assert len(py) == len(arr)
+    for i, (a, b) in enumerate(zip(py, arr)):
+        assert a == b, (i, a, b)
