@@ -192,16 +192,15 @@ def sort_adj_list_by_weighted_dfs(
     return weighted_dfs_walk(g, score, start)
 
 
-def _walk_from_edges(adj_list: Sequence[AdjPair], pair_score, start: Node):
-    """Array-native marshalling for the C++ walk: intern (h0, h1) pairs
-    with one np.unique, node id = 2*pair_rank + orientation (so the
-    skew-symmetric reverse is id ^ 1), dedup edges keeping FIRST
-    insertion (Python dict semantics), group to CSR with stable sorts
-    so per-node neighbor order is insertion order.  Bit-identical to the
-    _Digraph walk; avoids ~2 us/edge of dict construction."""
-    import numpy as np
+class _InternedEdges:
+    """Edge list interned to node ids: id = 2*pair_rank + orientation,
+    so the skew-symmetric reverse of id is id ^ 1."""
 
-    from ..native import api as native
+    __slots__ = ("uniq", "ul", "src_id", "dst_id", "n_pairs", "N")
+
+
+def _intern_edges(adj_list: Sequence[AdjPair]) -> "_InternedEdges":
+    import numpy as np
 
     E = len(adj_list)
     flat = np.fromiter(
@@ -222,30 +221,23 @@ def _walk_from_edges(adj_list: Sequence[AdjPair], pair_score, start: Node):
     assert int(all_pairs.max(initial=0)) < 0x7FF0000000000000
     cview = np.ascontiguousarray(all_pairs).view(np.complex128).reshape(-1)
     ucx, inv = np.unique(cview, return_inverse=True)
-    uniq = ucx.view(np.uint64).reshape(-1, 2)
+    it = _InternedEdges()
+    it.uniq = ucx.view(np.uint64).reshape(-1, 2)
+    it.ul = it.uniq.tolist()  # python ints iterate ~10x faster than rows
     inv = inv.reshape(-1).astype(np.int64)
-    src_id = inv[:E] * 2 + flat[:, 2].astype(np.int64)
-    dst_id = inv[E:] * 2 + flat[:, 5].astype(np.int64)
-    n_pairs = len(uniq)
-    N = 2 * n_pairs
+    it.src_id = inv[:E] * 2 + flat[:, 2].astype(np.int64)
+    it.dst_id = inv[E:] * 2 + flat[:, 5].astype(np.int64)
+    it.n_pairs = len(it.uniq)
+    it.N = 2 * it.n_pairs
+    return it
 
-    # node key table (heap tie-breaks compare the (h0, h1, ori) tuple)
-    keys = np.empty((N, 3), dtype=np.uint64)
-    keys[0::2, 0:2] = uniq
-    keys[1::2, 0:2] = uniq
-    keys[0::2, 2] = 0
-    keys[1::2, 2] = 1
-    rev = np.arange(N, dtype=np.uint32) ^ np.uint32(1)
 
-    ul = uniq.tolist()  # python ints: ~10x faster to iterate than rows
-    sc_pairs = np.fromiter(
-        (pair_score(p[0], p[1]) for p in ul),
-        dtype=np.int64,
-        count=n_pairs,
-    )
-    sc = np.repeat(sc_pairs, 2)
+def _csr_from_edges(src_id, dst_id, N: int):
+    """First-insertion dedup (Python dict semantics), then stable
+    grouping to CSR so per-node neighbor order is insertion order.
+    Returns (succ_indptr, succ_idx, pred_indptr, pred_idx)."""
+    import numpy as np
 
-    # first-insertion dedup, then stable group by endpoint
     eid = (src_id.astype(np.uint64) << np.uint64(32)) | dst_id.astype(
         np.uint64
     )
@@ -260,22 +252,62 @@ def _walk_from_edges(adj_list: Sequence[AdjPair], pair_score, start: Node):
     pred_idx = s2[order_d].astype(np.uint32)
     pred_indptr = np.zeros(N + 1, dtype=np.int64)
     np.cumsum(np.bincount(d2, minlength=N), out=pred_indptr[1:])
+    return succ_indptr, succ_idx, pred_indptr, pred_idx
 
-    # start id: uniq is lexicographically sorted by np.unique
+
+def _start_id(it: "_InternedEdges", start: Node) -> int:
+    import numpy as np
+
+    uniq = it.uniq
     lo = int(np.searchsorted(uniq[:, 0], np.uint64(start[0]), "left"))
     hi = int(np.searchsorted(uniq[:, 0], np.uint64(start[0]), "right"))
     p = lo + int(
         np.searchsorted(uniq[lo:hi, 1], np.uint64(start[1]), "left")
     )
-    start_id = 2 * p + start[2]
+    return 2 * p + start[2]
 
-    rows = native.dfs_walk(
+
+def _walk_rows_from_edges(
+    it: "_InternedEdges", pair_score, start: Node
+):
+    """Run the C++ walk over interned ids; returns the raw (n, 7) int64
+    row array (node/parent as ids)."""
+    import numpy as np
+
+    from ..native import api as native
+
+    N = it.N
+    # node key table (heap tie-breaks compare the (h0, h1, ori) tuple)
+    keys = np.empty((N, 3), dtype=np.uint64)
+    keys[0::2, 0:2] = it.uniq
+    keys[1::2, 0:2] = it.uniq
+    keys[0::2, 2] = 0
+    keys[1::2, 2] = 1
+    rev = np.arange(N, dtype=np.uint32) ^ np.uint32(1)
+    sc_pairs = np.fromiter(
+        (pair_score(p[0], p[1]) for p in it.ul),
+        dtype=np.int64,
+        count=it.n_pairs,
+    )
+    sc = np.repeat(sc_pairs, 2)
+    succ_indptr, succ_idx, pred_indptr, pred_idx = _csr_from_edges(
+        it.src_id, it.dst_id, N
+    )
+    return native.dfs_walk(
         keys, rev, sc, succ_indptr,
         succ_idx if len(succ_idx) else np.zeros(1, np.uint32),
         pred_indptr,
         pred_idx if len(pred_idx) else np.zeros(1, np.uint32),
-        start_id,
+        _start_id(it, start),
     )
+
+
+def _walk_from_edges(adj_list: Sequence[AdjPair], pair_score, start: Node):
+    """Array-native marshalling for the C++ walk — bit-identical to the
+    _Digraph walk; avoids ~2 us/edge of dict construction."""
+    it = _intern_edges(adj_list)
+    rows = _walk_rows_from_edges(it, pair_score, start)
+    ul = it.ul
     out = []
     for r in rows.tolist():
         p0, o0 = r[0] >> 1, r[0] & 1
@@ -455,11 +487,78 @@ def _weighted_dfs_walk_py(g: "_Digraph", score: Dict[Node, int], start: Node):
         )
 
 
+def _principal_bundles_from_edges(
+    frag_map, adj_list: Sequence[AdjPair], path_len_cutoff: int
+) -> Tuple[List[List[Node]], List[AdjPair]]:
+    """Array-native principal-bundle decomposition: the C++ walk + C++
+    peel over interned ids, with the path filtering / main-vertex /
+    edge-filtering steps vectorized.  Bit-identical to the dict-based
+    path below."""
+    import numpy as np
+
+    from ..native import api as native
+
+    it = _intern_edges(adj_list)
+    rows = _walk_rows_from_edges(
+        it, lambda h0, h1: len(frag_map[(h0, h1)]), adj_list[0][1]
+    )
+    ids = rows[:, 0]
+    leaf = rows[:, 3] != 0
+    # paths split at leaves (a trailing unterminated run is dropped,
+    # like the Python loop)
+    ends = np.flatnonzero(leaf)
+    starts_ = np.concatenate([[0], ends[:-1] + 1]) if len(ends) else []
+    main = np.zeros(it.n_pairs, dtype=bool)
+    for s_, e_ in zip(starts_, ends):
+        if e_ - s_ + 1 > path_len_cutoff:
+            main[ids[s_ : e_ + 1] >> 1] = True
+
+    emask = main[it.src_id >> 1] & main[it.dst_id >> 1]
+    fs = it.src_id[emask]
+    fd = it.dst_id[emask]
+    filtered = [adj_list[i] for i in np.flatnonzero(emask)]
+    if len(fs) == 0:
+        return [], filtered
+
+    succ_indptr, succ_idx, pred_indptr, pred_idx = _csr_from_edges(
+        fs, fd, it.N
+    )
+    # node insertion order of the filtered graph (dict key order:
+    # first appearance over the interleaved src/dst sequence)
+    seq = np.empty(2 * len(fs), dtype=np.int64)
+    seq[0::2] = fs
+    seq[1::2] = fd
+    _, fidx = np.unique(seq, return_index=True)
+    order = seq[np.sort(fidx)].astype(np.uint32)
+
+    blob = native.bundle_peel(
+        succ_indptr, succ_idx, pred_indptr, pred_idx, order, it.N
+    )
+    ul = it.ul
+    principal: List[List[Node]] = []
+    k = 1
+    for _ in range(int(blob[0])):
+        m = int(blob[k]); k += 1
+        path_ids = blob[k : k + m].tolist(); k += m
+        principal.append(
+            [(ul[i >> 1][0], ul[i >> 1][1], i & 1) for i in path_ids]
+        )
+    principal.sort(key=len, reverse=True)
+    return principal, filtered
+
+
 def get_principal_bundles_from_adj_list(
     frag_map, adj_list: Sequence[AdjPair], path_len_cutoff: int
 ) -> Tuple[List[List[Node]], List[AdjPair]]:
     """(reference: seq_db.rs:1063-1186)"""
     assert adj_list
+    if len(adj_list) >= 4096:
+        from ..native import api as native
+
+        if native.available():
+            return _principal_bundles_from_edges(
+                frag_map, adj_list, path_len_cutoff
+            )
     start = adj_list[0][1]
     sorted_nodes = sort_adj_list_by_weighted_dfs(frag_map, adj_list, start)
 

@@ -170,6 +170,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.pgr_bundle_peel.restype = None
+        lib.pgr_bundle_peel.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),    # succ_indptr (n+1,)
+            np.ctypeslib.ndpointer(np.uint32),   # succ_idx
+            np.ctypeslib.ndpointer(np.int64),    # pred_indptr (n+1,)
+            np.ctypeslib.ndpointer(np.uint32),   # pred_idx
+            np.ctypeslib.ndpointer(np.uint32),   # order (insertion)
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -511,6 +523,36 @@ def dfs_walk(
     blob = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
     lib.pgr_free(out)
     return blob.reshape(-1, 7)
+
+
+def bundle_peel(
+    succ_indptr: np.ndarray,
+    succ_idx: np.ndarray,
+    pred_indptr: np.ndarray,
+    pred_idx: np.ndarray,
+    order: np.ndarray,
+    n_nodes: int,
+) -> np.ndarray:
+    """Principal-bundle peel loop over interned ids
+    (native/src/bundle_peel.cc; reference seq_db.rs:1086-1183).
+    Returns the flat blob [n_paths, then per path: len, ids...]."""
+    lib = _load()
+    out = ctypes.POINTER(ctypes.c_int64)()
+    out_len = ctypes.c_int64()
+    lib.pgr_bundle_peel(
+        np.ascontiguousarray(succ_indptr, dtype=np.int64),
+        np.ascontiguousarray(succ_idx, dtype=np.uint32),
+        np.ascontiguousarray(pred_indptr, dtype=np.int64),
+        np.ascontiguousarray(pred_idx, dtype=np.uint32),
+        np.ascontiguousarray(order, dtype=np.uint32),
+        int(n_nodes),
+        len(order),
+        ctypes.byref(out),
+        ctypes.byref(out_len),
+    )
+    blob = np.ctypeslib.as_array(out, shape=(out_len.value,)).copy()
+    lib.pgr_free(out)
+    return blob
 
 
 def mdb_scan(path: str):

@@ -95,3 +95,36 @@ def test_edge_array_path_matches_digraph_path(seed):
     assert len(py) == len(arr)
     for i, (a, b) in enumerate(zip(py, arr)):
         assert a == b, (i, a, b)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23, 24])
+@pytest.mark.parametrize("cutoff", [1, 3, 8])
+def test_array_bundle_decomposition_matches_python(seed, cutoff):
+    """_principal_bundles_from_edges (C++ walk + C++ peel + vectorized
+    filtering) must reproduce the dict-based decomposition exactly —
+    same paths, same order, same filtered adjacency."""
+    rng = random.Random(seed)
+    n_pairs = 120
+    pairs = [
+        (rng.randrange(1 << 30), rng.randrange(1 << 30))
+        for _ in range(n_pairs)
+    ]
+    frag_map = {p: [None] * (rng.randrange(6) + 1) for p in pairs}
+    adj = []
+    # chains with branches: realistic bundle shapes
+    for _ in range(10):
+        walk = [pairs[rng.randrange(n_pairs)] + (rng.randrange(2),)
+                for _ in range(rng.randrange(3, 25))]
+        for a, b in zip(walk, walk[1:]):
+            adj.append((0, a, b))
+            adj.append((0, gb._rev(b), gb._rev(a)))
+    if not adj:
+        pytest.skip("empty")
+
+    res_arr = gb._principal_bundles_from_edges(frag_map, adj, cutoff)
+    # adj < 4096, so the public function takes the dict-based path
+    res_py = gb.get_principal_bundles_from_adj_list(frag_map, adj, cutoff)
+    assert res_arr[1] == res_py[1], "filtered adjacency differs"
+    assert len(res_arr[0]) == len(res_py[0])
+    for a, b in zip(res_arr[0], res_py[0]):
+        assert a == b
