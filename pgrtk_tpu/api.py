@@ -319,11 +319,8 @@ class SeqIndexDB:
         from .graph import bundles as gb
 
         frag_map = self.get_shmmr_map()
-        adj_list = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
-        if not adj_list:
-            return []
-        pb, _ = gb.get_principal_bundles_from_adj_list(
-            frag_map, adj_list, path_len_cutoff
+        pb, _ = gb.principal_bundles_from_frag_map(
+            frag_map, min_count, keeps, path_len_cutoff
         )
         return pb
 
@@ -468,12 +465,11 @@ class SeqIndexDB:
         from .graph import gfa as gfa_mod
 
         frag_map = self.get_shmmr_map()
-        adj_list = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
-        if not adj_list:
-            return
-        pb, filtered_adj = gb.get_principal_bundles_from_adj_list(
-            frag_map, adj_list, path_len_cutoff
+        pb, filtered_adj = gb.principal_bundles_from_frag_map(
+            frag_map, min_count, keeps, path_len_cutoff
         )
+        if not pb and not filtered_adj:
+            return
         vertex_map = self._get_vertex_map_from_principal_bundles(pb)
         gfa_mod.write_mapg_gfa(
             frag_map,

@@ -44,15 +44,7 @@ def frag_map_to_adj_list(
 
         from ..ops import adj as adj_ops
 
-        rows = np.empty((n_rows, 6), dtype=np.uint64)
-        mask = np.empty(n_rows, dtype=bool)
-        i = 0
-        for (h0, h1), sigs in frag_map.items():
-            ok = len(sigs) >= min_count
-            for _fid, sid, bgn, end, ori in sigs:
-                rows[i] = (sid, bgn, end, h0, h1, ori)
-                mask[i] = ok or (keep_set is not None and sid in keep_set)
-                i += 1
+        rows, mask = _rows_mask_from_frag_map(frag_map, min_count, keep_set)
         srows, link = adj_ops.sort_link_rows(rows, mask)
         out: List[AdjPair] = []
         for i in np.flatnonzero(link):
@@ -89,6 +81,24 @@ def frag_map_to_adj_list(
         out.append((v[0], v[3], w[3]))
         out.append((v[0], _rev(w[3]), _rev(v[3])))
     return out
+
+
+def _rows_mask_from_frag_map(frag_map, min_count: int, keep_set):
+    """Flatten a dict frag_map into (n_rows, 6) u64
+    (sid, bgn, end, h0, h1, ori) + the min_count/keeps mask."""
+    import numpy as np
+
+    n_rows = sum(len(sigs) for sigs in frag_map.values())
+    rows = np.empty((n_rows, 6), dtype=np.uint64)
+    mask = np.empty(n_rows, dtype=bool)
+    i = 0
+    for (h0, h1), sigs in frag_map.items():
+        ok = len(sigs) >= min_count
+        for _fid, sid, bgn, end, ori in sigs:
+            rows[i] = (sid, bgn, end, h0, h1, ori)
+            mask[i] = ok or (keep_set is not None and sid in keep_set)
+            i += 1
+    return rows, mask
 
 
 def generate_smp_adj_list_for_seq(
@@ -265,6 +275,45 @@ def _start_id(it: "_InternedEdges", start: Node) -> int:
         np.searchsorted(uniq[lo:hi, 1], np.uint64(start[1]), "left")
     )
     return 2 * p + start[2]
+
+
+def _edges_from_sorted_rows(srows, link):
+    """Interned edges straight from sort_link_rows output — the forward
+    edge and its reverse-complement interleaved exactly like the tuple
+    builder in frag_map_to_adj_list.  Returns (it, sids (2E,),
+    src_nodes (2E, 3) u64, dst_nodes (2E, 3) u64) or None if no links."""
+    import numpy as np
+
+    li = np.flatnonzero(link)
+    if len(li) == 0:
+        return None
+    a = srows[li]
+    b = srows[li + 1]
+    E = len(li)
+    src = np.empty((2 * E, 3), dtype=np.uint64)
+    dst = np.empty((2 * E, 3), dtype=np.uint64)
+    src[0::2] = a[:, 3:6]
+    dst[0::2] = b[:, 3:6]
+    src[1::2, 0:2] = b[:, 3:5]
+    src[1::2, 2] = np.uint64(1) - b[:, 5]
+    dst[1::2, 0:2] = a[:, 3:5]
+    dst[1::2, 2] = np.uint64(1) - a[:, 5]
+    sids = np.repeat(a[:, 0], 2)
+
+    all_pairs = np.concatenate([src[:, 0:2], dst[:, 0:2]])
+    assert int(all_pairs.max(initial=0)) < 0x7FF0000000000000
+    cview = np.ascontiguousarray(all_pairs).view(np.complex128).reshape(-1)
+    ucx, inv = np.unique(cview, return_inverse=True)
+    it = _InternedEdges()
+    it.uniq = ucx.view(np.uint64).reshape(-1, 2)
+    it.ul = it.uniq.tolist()
+    inv = inv.reshape(-1).astype(np.int64)
+    M = 2 * E
+    it.src_id = inv[:M] * 2 + src[:, 2].astype(np.int64)
+    it.dst_id = inv[M:] * 2 + dst[:, 2].astype(np.int64)
+    it.n_pairs = len(it.uniq)
+    it.N = 2 * it.n_pairs
+    return it, sids, src, dst
 
 
 def _walk_rows_from_edges(
@@ -487,21 +536,17 @@ def _weighted_dfs_walk_py(g: "_Digraph", score: Dict[Node, int], start: Node):
         )
 
 
-def _principal_bundles_from_edges(
-    frag_map, adj_list: Sequence[AdjPair], path_len_cutoff: int
-) -> Tuple[List[List[Node]], List[AdjPair]]:
-    """Array-native principal-bundle decomposition: the C++ walk + C++
-    peel over interned ids, with the path filtering / main-vertex /
-    edge-filtering steps vectorized.  Bit-identical to the dict-based
-    path below."""
+def _principal_bundles_core(
+    it: "_InternedEdges", pair_score, start: Node, path_len_cutoff: int
+):
+    """The C++ walk + C++ peel over interned ids, with the path
+    filtering / main-vertex / edge-filtering steps vectorized.
+    Returns (principal paths as node tuples, filtered-edge mask)."""
     import numpy as np
 
     from ..native import api as native
 
-    it = _intern_edges(adj_list)
-    rows = _walk_rows_from_edges(
-        it, lambda h0, h1: len(frag_map[(h0, h1)]), adj_list[0][1]
-    )
+    rows = _walk_rows_from_edges(it, pair_score, start)
     ids = rows[:, 0]
     leaf = rows[:, 3] != 0
     # paths split at leaves (a trailing unterminated run is dropped,
@@ -516,9 +561,8 @@ def _principal_bundles_from_edges(
     emask = main[it.src_id >> 1] & main[it.dst_id >> 1]
     fs = it.src_id[emask]
     fd = it.dst_id[emask]
-    filtered = [adj_list[i] for i in np.flatnonzero(emask)]
     if len(fs) == 0:
-        return [], filtered
+        return [], emask
 
     succ_indptr, succ_idx, pred_indptr, pred_idx = _csr_from_edges(
         fs, fd, it.N
@@ -544,6 +588,72 @@ def _principal_bundles_from_edges(
             [(ul[i >> 1][0], ul[i >> 1][1], i & 1) for i in path_ids]
         )
     principal.sort(key=len, reverse=True)
+    return principal, emask
+
+
+def _principal_bundles_from_edges(
+    frag_map, adj_list: Sequence[AdjPair], path_len_cutoff: int
+) -> Tuple[List[List[Node]], List[AdjPair]]:
+    """Array-native principal-bundle decomposition from a tuple
+    adjacency list.  Bit-identical to the dict-based path below."""
+    import numpy as np
+
+    it = _intern_edges(adj_list)
+    principal, emask = _principal_bundles_core(
+        it,
+        lambda h0, h1: len(frag_map[(h0, h1)]),
+        adj_list[0][1],
+        path_len_cutoff,
+    )
+    filtered = [adj_list[i] for i in np.flatnonzero(emask)]
+    return principal, filtered
+
+
+def principal_bundles_from_frag_map(
+    frag_map, min_count: int, keeps, path_len_cutoff: int
+) -> Tuple[List[List[Node]], List[AdjPair]]:
+    """Fully array-native decomposition for large graphs: frag_map rows
+    -> device/host sort+link -> interned edges -> C++ walk + peel, with
+    NO tuple adjacency materialized in between (the tuple round-trip
+    costs ~2 us/edge both ways).  Falls back to the tuple pipeline for
+    small graphs or without the native runtime.  Returns
+    (principal bundles, filtered adjacency tuples)."""
+    import numpy as np
+
+    from ..native import api as native
+    from ..ops import adj as adj_ops
+
+    keep_set = set(keeps) if keeps is not None else None
+    n_rows = sum(len(sigs) for sigs in frag_map.values())
+    if n_rows < (1 << 17) or not native.available():
+        adj_list = frag_map_to_adj_list(frag_map, min_count, keeps)
+        if not adj_list:
+            return [], []
+        return get_principal_bundles_from_adj_list(
+            frag_map, adj_list, path_len_cutoff
+        )
+
+    rows, mask = _rows_mask_from_frag_map(frag_map, min_count, keep_set)
+    srows, link = adj_ops.sort_link_rows(rows, mask)
+    res = _edges_from_sorted_rows(srows, link)
+    if res is None:
+        return [], []
+    it, sids, src, dst = res
+    # start node == first edge's source (adj_list[0][1] equivalent)
+    start = (int(src[0, 0]), int(src[0, 1]), int(src[0, 2]))
+    principal, emask = _principal_bundles_core(
+        it,
+        lambda h0, h1: len(frag_map[(h0, h1)]),
+        start,
+        path_len_cutoff,
+    )
+    fe = np.flatnonzero(emask)
+    filtered = [
+        (s, (v[0], v[1], v[2]), (w[0], w[1], w[2]))
+        for s, v, w in zip(
+            sids[fe].tolist(), src[fe].tolist(), dst[fe].tolist()
+        )
+    ]
     return principal, filtered
 
 

@@ -128,3 +128,58 @@ def test_array_bundle_decomposition_matches_python(seed, cutoff):
     assert len(res_arr[0]) == len(res_py[0])
     for a, b in zip(res_arr[0], res_py[0]):
         assert a == b
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_frag_map_direct_decomposition_matches_tuple_path(seed):
+    """principal_bundles_from_frag_map (rows -> sort+link -> interned
+    edges, no tuple adjacency) must match frag_map_to_adj_list +
+    get_principal_bundles_from_adj_list exactly."""
+    rng = random.Random(seed)
+    frag_map = {}
+    sid_pos = {}
+    n_pairs = 150
+    pairs = [
+        (rng.randrange(1 << 30), rng.randrange(1 << 30))
+        for _ in range(n_pairs)
+    ]
+    for sid in range(12):
+        pos = 0
+        for _ in range(rng.randrange(10, 60)):
+            p = pairs[rng.randrange(n_pairs)]
+            length = rng.randrange(50, 300)
+            frag_map.setdefault(p, []).append(
+                (len(frag_map.get(p, [])), sid, pos, pos + length,
+                 rng.randrange(2))
+            )
+            pos += length
+        sid_pos[sid] = pos
+    adj = gb.frag_map_to_adj_list(frag_map, 1, None)
+    if not adj:
+        pytest.skip("no adjacency")
+    exp = gb.get_principal_bundles_from_adj_list(frag_map, adj, 4)
+
+    # force the array path regardless of size thresholds
+    import numpy as np
+
+    from pgrtk_tpu.ops import adj as adj_ops
+
+    rows, mask = gb._rows_mask_from_frag_map(frag_map, 1, None)
+    srows, link = adj_ops.sort_link_rows(rows, mask)
+    res = gb._edges_from_sorted_rows(srows, link)
+    assert res is not None
+    it, sids, src, dst = res
+    start = (int(src[0, 0]), int(src[0, 1]), int(src[0, 2]))
+    assert start == adj[0][1]
+    principal, emask = gb._principal_bundles_core(
+        it, lambda h0, h1: len(frag_map[(h0, h1)]), start, 4
+    )
+    fe = np.flatnonzero(emask)
+    filtered = [
+        (s, (v[0], v[1], v[2]), (w[0], w[1], w[2]))
+        for s, v, w in zip(
+            sids[fe].tolist(), src[fe].tolist(), dst[fe].tolist()
+        )
+    ]
+    assert principal == exp[0]
+    assert filtered == exp[1]
