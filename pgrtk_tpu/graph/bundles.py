@@ -45,7 +45,7 @@ def frag_map_to_adj_list(
         from ..ops import adj as adj_ops
 
         rows, mask = _rows_mask_from_frag_map(frag_map, min_count, keep_set)
-        srows, link = adj_ops.sort_link_rows(rows, mask)
+        srows, link = adj_ops.sort_link_rows(rows, mask, device=True)
         out: List[AdjPair] = []
         for i in np.flatnonzero(link):
             sid = int(srows[i, 0])

@@ -53,17 +53,46 @@ def accelerator_present() -> bool:
 
     Lazy + cached: initializing a backend is expensive (and on tunneled
     setups claims the device), so this is only evaluated the first time a
-    batch-dispatch decision is needed.
+    batch-dispatch decision is needed.  Importing jax at all costs ~2.7 s
+    of cold CLI latency, so environments that cannot have an accelerator
+    (JAX_PLATFORMS=cpu, or no platform requested and no device files) are
+    answered without the import.
     """
     global _accel
     if _accel is None:
-        try:
-            import jax
-
-            _accel = jax.default_backend() != "cpu"
-        except Exception:
-            _accel = False
+        _accel = _detect_accelerator()
     return _accel
+
+
+def _detect_accelerator() -> bool:
+    import sys
+
+    if "jax" in sys.modules:
+        try:
+            return sys.modules["jax"].default_backend() != "cpu"
+        except Exception:
+            return False
+    plats = os.environ.get("JAX_PLATFORMS", "").lower()
+    requested = {p.strip() for p in plats.split(",") if p.strip()}
+    if requested and requested <= {"cpu"}:
+        return False
+    if not requested:
+        # No explicit platform: only pay the jax import when there is
+        # hardware evidence (local TPU device nodes, or a tunneled pool).
+        import glob
+
+        if not (
+            glob.glob("/dev/accel*")
+            or glob.glob("/dev/vfio/*")
+            or os.environ.get("PALLAS_AXON_POOL_IPS")
+        ):
+            return False
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 def _threshold() -> int:
