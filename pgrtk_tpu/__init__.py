@@ -224,7 +224,10 @@ def merge_regions(rgns, tol=1000):
     """
     by_strand = ([], [])
     for r in sorted(rgns):
-        by_strand[r[3]].append(list(r))
+        # any orientation other than 0/1 is silently dropped, exactly as
+        # the reference's two strand-filter comprehensions do
+        if r[3] in (0, 1):
+            by_strand[r[3]].append(list(r))
     out = []
     for strand_rgns in by_strand:
         merged = []
@@ -294,15 +297,17 @@ def map_intervals_in_sdb(
 def compute_graph_diffusion_entropy(gfa_fn, max_nodes=6000):
     """Diffusion entropy of a GFA graph's link structure.
 
-    Parity quirks (reference: pgrtk/__init__.py:330-388): node ids are
-    assumed to be 0..n-1; the transition matrix divides column j by the
-    sum of ROW j (no keepdims — the reference's broadcasting, not a
-    proper row normalization); diffusion runs n steps from uniform.
+    Parity quirks (reference: pgrtk/__init__.py:330-388): n is the count
+    of DISTINCT linked node ids, and the matrix is indexed by raw id —
+    a GFA with id gaps raises IndexError exactly as the reference does;
+    the transition matrix divides column j by the sum of ROW j (no
+    keepdims — the reference's broadcasting, not a proper row
+    normalization); diffusion runs n steps from uniform.
     """
     import numpy as np
 
     edges = []
-    max_id = -1
+    node_ids = set()
     with open(gfa_fn) as f:
         for line in f:
             cols = line.strip().split("\t")
@@ -315,8 +320,9 @@ def compute_graph_diffusion_entropy(gfa_fn, max_nodes=6000):
                 if parts[0] == "SC":
                     weight = int(parts[2])
             edges.append((a, b, weight))
-            max_id = max(max_id, a, b)
-    n_node = max_id + 1
+            node_ids.add(a)
+            node_ids.add(b)
+    n_node = len(node_ids)
     if n_node > max_nodes:
         return None
     adj = np.zeros((n_node, n_node), dtype=np.float32)
@@ -324,7 +330,7 @@ def compute_graph_diffusion_entropy(gfa_fn, max_nodes=6000):
         adj[a, b] = weight
         adj[b, a] = weight
     transition = adj / np.sum(adj, axis=1)  # reference broadcasting quirk
-    yy = np.full(n_node, 1.0 / n_node, dtype=np.float32)
+    yy = np.ones(n_node, dtype=np.float32) / n_node
     for _ in range(n_node):
         yy = transition @ yy
     entropy = -np.sum(yy * np.log2(yy))

@@ -469,7 +469,11 @@ class SeqIndexDB:
             frag_map, min_count, keeps, path_len_cutoff
         )
         if not pb and not filtered_adj:
-            return
+            # skip the file only when there is no graph at all; when
+            # path_len_cutoff filtered every path, still write the
+            # (header-only) GFA so downstream tooling finds the file
+            if not gb.frag_map_to_adj_list(frag_map, min_count, keeps):
+                return
         vertex_map = self._get_vertex_map_from_principal_bundles(pb)
         gfa_mod.write_mapg_gfa(
             frag_map,

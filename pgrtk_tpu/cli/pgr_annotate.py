@@ -97,11 +97,9 @@ def main_bed(argv=None):
     p.add_argument("annotation_path")
     p.add_argument("output_path")
     p.add_argument("--number-of-thread", type=int, default=0)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
     annotate_bed(args.bed_path, args.annotation_path, args.output_path)
     return 0

@@ -39,11 +39,9 @@ def main(argv=None):
     p.add_argument("-r", type=int, default=4)
     p.add_argument("-m", "--min-span", type=int, default=64)
     p.add_argument("-t", "--threshold", type=float, default=2.0)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     sdb0 = _load_set(args.filepath0, args.w, args.k, args.r, args.min_span)

@@ -79,11 +79,9 @@ def main(argv=None):
     p.add_argument("-a", "--agc-idx-prefix", default=None)
     p.add_argument("-f", "--frg-idx-prefix", default=None)
     p.add_argument("-t", "--threshold", type=float, default=2.0)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     db = SeqIndexDB()

@@ -22,11 +22,9 @@ def main(argv=None):
     p.add_argument("-r", "--region-file", default=None)
     p.add_argument("-o", "--output-file", default=None)
     p.add_argument("--list", action="store_true")
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     db = SeqIndexDB()

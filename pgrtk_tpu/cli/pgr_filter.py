@@ -22,11 +22,9 @@ def main(argv=None):
     p.add_argument("-q", "--query-fastx-path", default=None)
     p.add_argument("-k", type=int, default=32)
     p.add_argument("-t", "--threshold", type=float, default=0.8)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     f = MinimizerFilter(args.k)

@@ -29,11 +29,9 @@ def main(argv=None):
     p.add_argument("--ctg", default=None)
     p.add_argument("--ref-annotation-bed", default=None)
     p.add_argument("--svg", action="store_true")
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     with open(args.ctgmap_json_path) as f:

@@ -72,11 +72,9 @@ def main(argv=None):
     p.add_argument("output_path")
     p.add_argument("--sample-name", default="Sample")
     p.add_argument("--number-of-thread", type=int, default=0)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     with open(args.target_len_json_path) as f:

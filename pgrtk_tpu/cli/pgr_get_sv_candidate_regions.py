@@ -104,11 +104,9 @@ def main(argv=None):
     p.add_argument(
         "--generate-sv-candidate-fasta-file", action="store_true"
     )
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
     k = args.k
 
@@ -189,7 +187,7 @@ def main(argv=None):
                 if diff_type is None and aln_pair is not None:
                     seg_pairs.append(aln_pair)
     seg_variants = batch_get_variant_segments(
-        seg_pairs, 1, 384, 3, 3, 1
+        seg_pairs, 1, 384, 3, 3, 1, threads=nthreads
     )
     seg_iter = iter(seg_variants)
 

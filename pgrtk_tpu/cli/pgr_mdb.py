@@ -29,11 +29,9 @@ def main(argv=None):
     p.add_argument("-m", "--min-span", type=int, default=64)
     p.add_argument("-s", "--sketch", action="store_true")
     p.add_argument("--number-of-readers", type=int, default=4)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     spec = ShmmrSpec(

@@ -108,11 +108,9 @@ def main(argv=None):
     p.add_argument("output_prefix")
     p.add_argument("--ctgs-of-interest", default=None)
     p.add_argument("--alt-anchoring-mode", action="store_true")
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     ctg_data = dict(read_bed(args.bed_file_path))

@@ -17,11 +17,9 @@ def main(argv=None):
     )
     p.add_argument("bed_file_path")
     p.add_argument("output_prefix")
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     ctg_data = read_bed(args.bed_file_path)

@@ -96,11 +96,9 @@ def main(argv=None):
     p.add_argument("--html", action="store_true")
     p.add_argument("--no-tooltips", action="store_true")
     p.add_argument("--h-factor", type=float, default=1.5)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     annotation_region_record: Dict[str, list] = {}

@@ -86,11 +86,9 @@ def main(argv=None):
     p.add_argument("--min-branch-size", type=int, default=8)
     p.add_argument("--bundle-length-cutoff", type=int, default=2500)
     p.add_argument("--bundle-merge-distance", type=int, default=10000)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
     cmd_string = " ".join(sys.argv if argv is None else ["pgr-pbundle-decomp"] + argv)
 

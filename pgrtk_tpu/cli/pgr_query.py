@@ -270,11 +270,9 @@ def main(argv=None):
         "--host", action="store_false", dest="batch_device",
         help="force the host (native C++) query path",
     )
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
 
     db = SeqIndexDB()

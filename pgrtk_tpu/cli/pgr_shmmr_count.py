@@ -34,11 +34,9 @@ def main(argv=None):
     p.add_argument("-k", type=int, default=56)
     p.add_argument("-r", type=int, default=1)
     p.add_argument("-m", "--min-span", type=int, default=8)
-    from ..utils.version import version_string
+    from ..utils.version import add_version_arg
 
-    p.add_argument(
-        "--version", action="version", version=version_string()
-    )
+    add_version_arg(p)
     args = p.parse_args(argv)
     spec = ShmmrSpec(
         w=args.w, k=args.k, r=args.r, min_span=args.min_span, sketch=False

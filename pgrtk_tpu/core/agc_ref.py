@@ -54,10 +54,15 @@ def _read_pvarint(buf: bytes, p: int) -> Tuple[int, int]:
     if b0 < 0xF0:
         v = ((b0 - 0xE0) << 24) | (buf[p + 1] << 16) | (buf[p + 2] << 8) | buf[p + 3]
         return v + 0x204080, p + 4
-    v = b0 - 0xF0
-    for i in range(4):
+    if b0 < 0xF8:
+        v = b0 - 0xF0
+        for i in range(4):
+            v = (v << 8) | buf[p + 1 + i]
+        return v + 0x10204080, p + 5
+    v = b0 - 0xF8
+    for i in range(5):
         v = (v << 8) | buf[p + 1 + i]
-    return v + 0x10204080, p + 5
+    return v + 0x0810204080, p + 6
 
 
 def _unzigzag(v: int) -> int:

@@ -164,22 +164,32 @@ class LazySigs:
 
 def _scan_python(filepath: str):
     """Header walk without loading postings (fallback when the native
-    pgr_mdb_scan is unavailable)."""
+    pgr_mdb_scan is unavailable).  Walks an mmap of the file so only the
+    24-byte key headers page in — reading the whole multi-GB index into
+    memory would defeat the lazy path this backs."""
+    import mmap as mmap_mod
+
     with open(filepath, "rb") as f:
-        data = f.read()
-    buf = memoryview(data)
-    spec, nkeys, cursor = _read_header(buf)
-    keys = np.empty((nkeys, 2), dtype=np.uint64)
-    starts = np.empty(nkeys, dtype=np.int64)
-    counts = np.empty(nkeys, dtype=np.int64)
-    for i in range(nkeys):
-        k0, k1, n = struct.unpack_from("<3Q", buf, cursor)
-        cursor += 24
-        keys[i, 0] = k0
-        keys[i, 1] = k1
-        starts[i] = cursor
-        counts[i] = n
-        cursor += 17 * n
+        mm = mmap_mod.mmap(f.fileno(), 0, access=mmap_mod.ACCESS_READ)
+        try:
+            buf = memoryview(mm)
+            try:
+                spec, nkeys, cursor = _read_header(buf)
+                keys = np.empty((nkeys, 2), dtype=np.uint64)
+                starts = np.empty(nkeys, dtype=np.int64)
+                counts = np.empty(nkeys, dtype=np.int64)
+                for i in range(nkeys):
+                    k0, k1, n = struct.unpack_from("<3Q", buf, cursor)
+                    cursor += 24
+                    keys[i, 0] = k0
+                    keys[i, 1] = k1
+                    starts[i] = cursor
+                    counts[i] = n
+                    cursor += 17 * n
+            finally:
+                buf.release()
+        finally:
+            mm.close()
     return spec, keys, starts, counts
 
 

@@ -218,13 +218,16 @@ def batch_get_variant_segments(
     open_penalty: int,
     extension_penalty: int,
     force_device=None,
+    threads: Optional[int] = None,
 ):
     """get_variant_segments over many (target, query) byte pairs at once:
     the reversed suffixes are aligned as ONE device batch (ops/wfa.py —
     bit-exact to the scalar arbiter, host fallback per segment) when an
-    accelerator is live and the batch is big enough, else serially on
-    the host.  Returns a list of per-pair variant lists (None entries
-    where the alignment did not complete)."""
+    accelerator is live and the batch is big enough, else on a host
+    thread pool (the native WFA call releases the GIL; `threads` caps
+    the pool like the reference's rayon thread flag).  Returns a list
+    of per-pair variant lists (None entries where the alignment did not
+    complete)."""
     pairs = [
         (
             t.encode() if isinstance(t, str) else bytes(t),
@@ -248,13 +251,20 @@ def batch_get_variant_segments(
             extension_penalty,
         )
     else:
-        aligned = [
-            wfa_align_bases(
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _one(tq):
+            t, q = tq
+            return wfa_align_bases(
                 t.decode(), q.decode(), max_wf_length, mismatch_penalty,
                 open_penalty, extension_penalty,
             )
-            for t, q in rev
-        ]
+
+        if len(rev) > 1:
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                aligned = list(ex.map(_one, rev))
+        else:
+            aligned = [_one(tq) for tq in rev]
     return [
         _variants_from_reversed_alignment(res, t, q, left_padding)
         for res, (t, q) in zip(aligned, pairs)

@@ -209,6 +209,32 @@ class _InternedEdges:
     __slots__ = ("uniq", "ul", "src_id", "dst_id", "n_pairs", "N")
 
 
+def _intern_pairs(all_pairs, src_ori, dst_ori) -> "_InternedEdges":
+    """Intern a stacked (2E, 2) u64 pair array (E src rows then E dst
+    rows) plus per-edge orientations into node ids.
+
+    Unique rows via a complex128 VIEW: for u64 values below 0x7FF0...
+    (true for 56-bit shimmer hashes) the f64 bit pattern is non-negative
+    and never NaN, so complex lexicographic order == integer
+    lexicographic order — and np.unique on 1-D complex is ~8x faster
+    than axis=0 row unique."""
+    import numpy as np
+
+    assert int(all_pairs.max(initial=0)) < 0x7FF0000000000000
+    cview = np.ascontiguousarray(all_pairs).view(np.complex128).reshape(-1)
+    ucx, inv = np.unique(cview, return_inverse=True)
+    it = _InternedEdges()
+    it.uniq = ucx.view(np.uint64).reshape(-1, 2)
+    it.ul = it.uniq.tolist()  # python ints iterate ~10x faster than rows
+    inv = inv.reshape(-1).astype(np.int64)
+    E = len(src_ori)
+    it.src_id = inv[:E] * 2 + src_ori.astype(np.int64)
+    it.dst_id = inv[E:] * 2 + dst_ori.astype(np.int64)
+    it.n_pairs = len(it.uniq)
+    it.N = 2 * it.n_pairs
+    return it
+
+
 def _intern_edges(adj_list: Sequence[AdjPair]) -> "_InternedEdges":
     import numpy as np
 
@@ -223,23 +249,7 @@ def _intern_edges(adj_list: Sequence[AdjPair]) -> "_InternedEdges":
         count=6 * E,
     ).reshape(E, 6)
     all_pairs = np.concatenate([flat[:, 0:2], flat[:, 3:5]])
-    # unique rows via a complex128 VIEW: for u64 values below
-    # 0x7FF0... (true for 56-bit shimmer hashes) the f64 bit pattern is
-    # non-negative and never NaN, so complex lexicographic order ==
-    # integer lexicographic order — and np.unique on 1-D complex is ~8x
-    # faster than axis=0 row unique
-    assert int(all_pairs.max(initial=0)) < 0x7FF0000000000000
-    cview = np.ascontiguousarray(all_pairs).view(np.complex128).reshape(-1)
-    ucx, inv = np.unique(cview, return_inverse=True)
-    it = _InternedEdges()
-    it.uniq = ucx.view(np.uint64).reshape(-1, 2)
-    it.ul = it.uniq.tolist()  # python ints iterate ~10x faster than rows
-    inv = inv.reshape(-1).astype(np.int64)
-    it.src_id = inv[:E] * 2 + flat[:, 2].astype(np.int64)
-    it.dst_id = inv[E:] * 2 + flat[:, 5].astype(np.int64)
-    it.n_pairs = len(it.uniq)
-    it.N = 2 * it.n_pairs
-    return it
+    return _intern_pairs(all_pairs, flat[:, 2], flat[:, 5])
 
 
 def _csr_from_edges(src_id, dst_id, N: int):
@@ -301,18 +311,7 @@ def _edges_from_sorted_rows(srows, link):
     sids = np.repeat(a[:, 0], 2)
 
     all_pairs = np.concatenate([src[:, 0:2], dst[:, 0:2]])
-    assert int(all_pairs.max(initial=0)) < 0x7FF0000000000000
-    cview = np.ascontiguousarray(all_pairs).view(np.complex128).reshape(-1)
-    ucx, inv = np.unique(cview, return_inverse=True)
-    it = _InternedEdges()
-    it.uniq = ucx.view(np.uint64).reshape(-1, 2)
-    it.ul = it.uniq.tolist()
-    inv = inv.reshape(-1).astype(np.int64)
-    M = 2 * E
-    it.src_id = inv[:M] * 2 + src[:, 2].astype(np.int64)
-    it.dst_id = inv[M:] * 2 + dst[:, 2].astype(np.int64)
-    it.n_pairs = len(it.uniq)
-    it.N = 2 * it.n_pairs
+    it = _intern_pairs(all_pairs, src[:, 2], dst[:, 2])
     return it, sids, src, dst
 
 

@@ -129,7 +129,10 @@ struct AgcArchive {
   // decode caches (segment-level random access re-reads group data)
   std::mutex cache_mu;
   std::unordered_map<uint32_t, std::string> ref_cache;
-  std::map<std::pair<uint32_t, uint32_t>, std::vector<std::string>> pack_cache;
+  // shared_ptr so a pack returned to a caller survives LRU eviction by a
+  // concurrent thread (the archive is shared across server threads)
+  std::map<std::pair<uint32_t, uint32_t>,
+           std::shared_ptr<const std::vector<std::string>>> pack_cache;
   std::list<std::pair<uint32_t, uint32_t>> pack_lru;
   static constexpr size_t kMaxPacks = 64;
 
@@ -304,13 +307,13 @@ bool lz_decode(const std::string &rec, const std::string &ref,
   return true;
 }
 
-const std::vector<std::string> *get_delta_pack(AgcArchive *a, uint32_t group,
-                                               uint32_t part_idx) {
+std::shared_ptr<const std::vector<std::string>> get_delta_pack(
+    AgcArchive *a, uint32_t group, uint32_t part_idx) {
   auto key = std::make_pair(group, part_idx);
   {
     std::lock_guard<std::mutex> lk(a->cache_mu);
     auto it = a->pack_cache.find(key);
-    if (it != a->pack_cache.end()) return &it->second;
+    if (it != a->pack_cache.end()) return it->second;
   }
   auto sit = a->streams.find("seg-" + std::to_string(group) + "-delta");
   if (sit == a->streams.end() || part_idx >= sit->second.size()) return nullptr;
@@ -331,13 +334,15 @@ const std::vector<std::string> *get_delta_pack(AgcArchive *a, uint32_t group,
       start = i + 1;
     }
   }
+  auto pack = std::make_shared<const std::vector<std::string>>(std::move(recs));
   std::lock_guard<std::mutex> lk(a->cache_mu);
   if (a->pack_cache.size() >= AgcArchive::kMaxPacks && !a->pack_lru.empty()) {
     a->pack_cache.erase(a->pack_lru.front());
     a->pack_lru.pop_front();
   }
-  a->pack_lru.push_back(key);
-  return &a->pack_cache.emplace(key, std::move(recs)).first->second;
+  auto ins = a->pack_cache.emplace(key, pack);
+  if (ins.second) a->pack_lru.push_back(key);
+  return ins.first->second;
 }
 
 // one decoded segment (stored orientation) as ASCII bases
@@ -350,7 +355,7 @@ bool get_segment(AgcArchive *a, const AgcSegment &sg, std::string &out) {
   }
   uint32_t part_idx = (sg.igid - 1) / a->pack_card;
   uint32_t rec_idx = (sg.igid - 1) % a->pack_card;
-  const std::vector<std::string> *pack = get_delta_pack(a, sg.group, part_idx);
+  auto pack = get_delta_pack(a, sg.group, part_idx);
   if (!pack || rec_idx >= pack->size()) return false;
   static const std::string kEmpty;
   out.clear();

@@ -452,10 +452,17 @@ def batch_wfa_align(
     max_steps: int = 1024,
     L: int = 512,
     S_max: int = 256,
+    chunk: int = 256,
 ) -> List[Optional[Tuple[str, str]]]:
     """Align many (target, query) byte pairs; device forward + host
     backtrace for every segment that fits (len <= L, score <= S_max),
-    native host path for the rest.  Bit-identical to wfa.cc output."""
+    native host path for the rest.  Bit-identical to wfa.cc output.
+
+    Segments run in fixed-size device chunks of ``chunk`` (padded with
+    trivial 1-base pairs): the forward kernel materializes ~4-5 MB/segment
+    of wavefront state, so an unchunked genome-scale batch would blow HBM,
+    and a traced batch dimension would recompile per distinct G (remote
+    compiles on this box run 10s-6min)."""
     from ..core import wfa as host_wfa
 
     out: List[Optional[Tuple[str, str]]] = [None] * len(pairs)
@@ -464,16 +471,25 @@ def batch_wfa_align(
         for i, (t, q) in enumerate(pairs)
         if len(t) <= L and len(q) <= L and len(t) > 0 and len(q) > 0
     ]
-    host_ids = [i for i in range(len(pairs)) if i not in set(dev_ids)]
+    dev_set = set(dev_ids)
+    host_ids = [i for i in range(len(pairs)) if i not in dev_set]
 
-    if dev_ids:
-        G = len(dev_ids)
+    for c0 in range(0, len(dev_ids), chunk):
+        ids = dev_ids[c0 : c0 + chunk]
+        # static batch dim: bounded HBM, few compile shapes (power-of-two
+        # buckets for the final partial chunk, `chunk` for full ones)
+        G = chunk if len(ids) == chunk else max(8, 1 << (len(ids) - 1).bit_length())
         t_b = np.zeros((G, L), dtype=np.uint8)
         q_b = np.full((G, L), 0xFF, dtype=np.uint8)
-        n = np.zeros(G, dtype=np.int32)
-        m = np.zeros(G, dtype=np.int32)
-        for gi, i in enumerate(dev_ids):
+        n = np.ones(G, dtype=np.int32)
+        m = np.ones(G, dtype=np.int32)
+        # pad rows beyond the real segments align trivially (score 0)
+        t_b[:, 0] = ord("A")
+        q_b[:, 0] = ord("A")
+        for gi, i in enumerate(ids):
             t, q = pairs[i]
+            t_b[gi, :] = 0
+            q_b[gi, :] = 0xFF
             t_b[gi, : len(t)] = np.frombuffer(bytes(t), dtype=np.uint8)
             q_b[gi, : len(q)] = np.frombuffer(bytes(q), dtype=np.uint8)
             n[gi] = len(t)
@@ -484,13 +500,13 @@ def batch_wfa_align(
             L=L, S_max=S_max, max_wf_length=max_wf_length,
             x=mismatch, o=open_penalty, e=ext_penalty,
         )
-        final_s = np.asarray(res["final_s"])
+        final_s = np.asarray(res["final_s"][: len(ids)])
         # download only the scores actually reached
         smax = int(final_s.max()) if final_s.size else -1
-        m_hist = np.asarray(res["m_hist"][: max(smax, 0) + 1])
-        lo_hist = np.asarray(res["lo_hist"][: max(smax, 0) + 1])
-        hi_hist = np.asarray(res["hi_hist"][: max(smax, 0) + 1])
-        for gi, i in enumerate(dev_ids):
+        m_hist = np.asarray(res["m_hist"][: max(smax, 0) + 1, : len(ids)])
+        lo_hist = np.asarray(res["lo_hist"][: max(smax, 0) + 1, : len(ids)])
+        hi_hist = np.asarray(res["hi_hist"][: max(smax, 0) + 1, : len(ids)])
+        for gi, i in enumerate(ids):
             fs = int(final_s[gi])
             if fs < 0 or fs > max_steps:
                 host_ids.append(i)

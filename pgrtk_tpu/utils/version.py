@@ -34,3 +34,18 @@ def version_string() -> str:
             pass
         _cached = f"pgrtk_tpu {__version__}" + (f" ({desc})" if desc else "")
     return _cached
+
+
+def add_version_arg(parser) -> None:
+    """Attach --version to an argparse parser, deferring the git
+    subprocess in version_string() to when the flag actually fires."""
+    import argparse
+
+    class _Version(argparse.Action):
+        def __call__(self, parser, namespace, values, option_string=None):
+            parser.exit(message=version_string() + "\n")
+
+    parser.add_argument(
+        "--version", action=_Version, nargs=0,
+        help="show version and exit",
+    )
