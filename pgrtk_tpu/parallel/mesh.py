@@ -37,6 +37,7 @@ def sharded_sketch_index_step(
     r: int = 4,
     min_span: int = 64,
     chunk: int = 512,
+    compact_kw: Optional[dict] = None,
 ):
     """Build the jitted multi-chip indexing step.
 
@@ -55,7 +56,8 @@ def sharded_sketch_index_step(
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
         xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+            **(compact_kw or {})
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         # pair consecutive KEPT mers directly (jump-pointer next-kept
@@ -65,8 +67,9 @@ def sharded_sketch_index_step(
         n_mers_local = keep.sum()
         n_pairs = jax.lax.psum(n_pairs_local, axis)
         n_mers = jax.lax.psum(n_mers_local, axis)
-        # any-shard overflow: callers must rebuild via the exact host
-        # path when set (block-local slot loss is not silent)
+        # any-shard overflow: callers rerun the step built with
+        # compact_kw=pairs_ops.SAFE_COMPACT_KW, then the exact host path
+        # (block-local slot loss is not silent)
         overflow = jax.lax.psum(ovf.astype(jnp.int32), axis) > 0
         # replicated-index v1: gather every shard's pairs (PACKED: 7
         # planes instead of 9 — 22% less ICI traffic) and stable-sort
@@ -107,7 +110,8 @@ def sharded_sketch_index_step(
 
 
 def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
-                             min_span: int = 64, chunk: int = 512):
+                             min_span: int = 64, chunk: int = 512,
+                             compact_kw: Optional[dict] = None):
     """Multi-chip query step: sketch the (sharded) query batch against a
     replicated sorted key table; per-shard hit counts are merged with
     psum and the per-query hit mask all_gathered."""
@@ -120,7 +124,8 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
         xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+            **(compact_kw or {})
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
@@ -148,7 +153,8 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
 
 def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
                              r: int = 4, min_span: int = 64,
-                             chunk: int = 512):
+                             chunk: int = 512,
+                             compact_kw: Optional[dict] = None):
     """Multi-chip query step against a replicated bucketed PROBE table
     (ops/probe.py) — the production TPU path: one aligned row fetch +
     W-wide compare per pair key instead of a gather-bound binary search.
@@ -166,7 +172,8 @@ def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
         xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+            **(compact_kw or {})
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
@@ -304,6 +311,7 @@ def sharded_index_v2_step(
     min_span: int = 64,
     chunk: int = 512,
     route_capacity: Optional[int] = None,
+    compact_kw: Optional[dict] = None,
 ):
     """Memory-scalable index build (sharding v2, docs/ROADMAP.md):
     each device keeps only ITS hash range of the global pair table, and
@@ -334,7 +342,8 @@ def sharded_index_v2_step(
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
         xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+            **(compact_kw or {})
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
@@ -450,6 +459,7 @@ def sharded_query_v2_step(
     r: int = 4,
     min_span: int = 64,
     chunk: int = 512,
+    compact_kw: Optional[dict] = None,
 ):
     """Query fan-out against the hash-range-sharded v2 index: queries
     are sketched where they live, query KEYS are all_gathered (keys are
@@ -472,7 +482,8 @@ def sharded_query_v2_step(
             seqs_u8, lengths, rids, k, r, min_span, chunk
         )
         xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+            **(compact_kw or {})
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)

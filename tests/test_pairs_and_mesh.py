@@ -281,3 +281,31 @@ def test_sort_pairs_packed_matches_sort_pairs():
     for k in ("k0_hi", "k0_lo", "k1_hi", "k1_lo", "sid", "bgn", "end",
               "orientation"):
         assert np.array_equal(a[k][:nv], b[k][:nv]), k
+
+
+def test_compact_overflow_flag_and_safe_rerun():
+    """The aggressive default compaction sizing must FLAG dense clusters
+    (never drop silently), and the SAFE_COMPACT_KW rerun must hold them."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import pairs as pairs_ops
+
+    B, L = 2, 4096
+    rng = np.random.RandomState(3)
+    x_hi = jnp.asarray(rng.randint(0, 1 << 31, size=(B, L)).astype(np.uint32))
+    x_lo = jnp.asarray(rng.randint(0, 1 << 31, size=(B, L)).astype(np.uint32))
+    pos = np.arange(L, dtype=np.uint32)[None, :].repeat(B, 0)
+    y_lo = jnp.asarray(pos << 1)
+    sel = np.zeros((B, L), dtype=bool)
+    sel[0, 100:115] = True  # 15 selected inside one 512-block: > 12 slots
+    xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
+        x_hi, x_lo, y_lo, jnp.asarray(sel)
+    )
+    assert bool(ovf), "default sizing must flag a 15-dense block"
+    xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
+        x_hi, x_lo, y_lo, jnp.asarray(sel), **pairs_ops.SAFE_COMPACT_KW
+    )
+    assert not bool(ovf)
+    assert int(valid.sum()) == 15
+    got_pos = np.sort(np.asarray(yl)[np.asarray(valid)] >> 1)
+    assert np.array_equal(got_pos, np.arange(100, 115))
