@@ -116,7 +116,8 @@ def main():
         # n passed as a device scalar: ONE compile serves warm-up and the
         # timed run (remote compiles through the tunnel are minutes)
         int(chain(arr, jnp.int32(1))[1])  # warm-up / compile
-        N = 20
+        int(chain(arr, jnp.int32(1))[1])  # settle dispatch path
+        N = 50
         t0 = time.time()
         acc = int(chain(arr, jnp.int32(N))[1])  # scalar sync (4 bytes)
         dt = (time.time() - t0) / N

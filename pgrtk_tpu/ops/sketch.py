@@ -245,6 +245,117 @@ def _register_walk_overlap(code: jnp.ndarray, k: int, r: int, chunk: int,
     return (x_hi, x_lo), meta, inexact
 
 
+def _register_walk_overlap_compact(
+    code: jnp.ndarray, lengths: jnp.ndarray, k: int, r: int, chunk: int,
+    slots: int, overlap: int = 64
+):
+    """Overlap register walk with the LEVEL-1 rank extraction fused into
+    the scan body: each lane keeps a running selected-count and one-hot
+    accumulates the (x_hi, x_lo, y_lo) of its first `slots` selected
+    mers into a (lanes, slots) carry, so the dense (B, L) hash/meta
+    planes never touch HBM and the post-scan transpose/relayout of
+    three full-width planes disappears.
+
+    Returns (xh, xl, yl) of shape (B, nc*slots) in the exact
+    _rank_extract(block=chunk, slots=slots) layout (per-block valid
+    prefix), plus valid, per-block counts' overflow flag, and the
+    overlap `inexact` flag."""
+    B, L = code.shape
+    nc = L // chunk
+    core = code.reshape(B, nc, chunk)
+    prev_tail = jnp.roll(core, 1, axis=1)[:, :, chunk - overlap:]
+    prev_tail = prev_tail.at[:, 0, :].set(jnp.uint32(4))
+    windows = jnp.concatenate([prev_tail, core], axis=2)
+    valid_in_overlap = (prev_tail < 4).sum(axis=2)
+    first_chunk = jax.lax.broadcasted_iota(jnp.int32, (B, nc), 1) == 0
+    inexact = ((valid_in_overlap < k) & ~first_chunk).any()
+
+    lanes = B * nc
+    cols = windows.reshape(lanes, chunk + overlap).T
+    lane = jnp.arange(lanes, dtype=jnp.int32)
+    base_pos = (lane % nc) * chunk            # chunk start position
+    len_lane = jnp.repeat(lengths, nc)        # (lanes,)
+    slot_ids = jnp.arange(slots, dtype=jnp.int32)[None, :]
+
+    z = jnp.zeros((lanes, slots), dtype=U32)
+    init = (
+        _zero_state(lanes),
+        jnp.zeros((lanes,), dtype=jnp.int32),  # selected count
+        z, z, z,
+    )
+    ts = jnp.arange(chunk + overlap, dtype=jnp.int32)
+
+    def step(carry, inp):
+        st, cnt, axh, axl, ayl = carry
+        col, t = inp
+        st = _step_registers(st, col, k)
+        x, meta = _hash_cols(st, k, r)
+        pos = base_pos + (t - overlap)
+        sel = (
+            (t >= overlap) & (pos < len_lane) & (pos >= k)
+            & ((meta & 2) != 0)
+        )
+        y = (pos.astype(U32) << 1) | (meta & 1)
+        m = (sel[:, None] & (cnt[:, None] == slot_ids)).astype(U32)
+        axh = axh + m * x[0][:, None]
+        axl = axl + m * x[1][:, None]
+        ayl = ayl + m * y[:, None]
+        cnt = cnt + sel.astype(jnp.int32)
+        return (st, cnt, axh, axl, ayl), None
+
+    (_, cnt, axh, axl, ayl), _ = jax.lax.scan(
+        step, init, (cols, ts), unroll=4
+    )
+    valid = (slot_ids < cnt[:, None]).reshape(B, nc * slots)
+    overflow = (cnt > slots).any()
+    return (
+        axh.reshape(B, nc * slots),
+        axl.reshape(B, nc * slots),
+        ayl.reshape(B, nc * slots),
+        valid,
+        overflow,
+        inexact,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "r", "min_span", "chunk", "slots", "block2",
+                     "slots2"),
+)
+def sketch_compact_mode2(
+    seqs_u8: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k: int,
+    r: int,
+    min_span: int,
+    chunk: int = 512,
+    slots: int = 12,
+    block2: int = 512,
+    slots2: int = 144,
+):
+    """Fused mode-2 sketch + two-level compaction: the scan-fused level-1
+    extraction (see _register_walk_overlap_compact) followed by the
+    level-2 rank extract.  Output layout and semantics are identical to
+    sketch_mode2_dense + compact_mers_packed(block=chunk, ...); the
+    returned `overflow` flag also covers the overlap-walk `inexact`
+    condition — on overflow, rerun via the unfused exact path
+    (sketch_mode2_dense(exact=True) + compact_mers_packed with
+    SAFE_COMPACT_KW)."""
+    from . import pairs as pairs_ops
+
+    B, L = seqs_u8.shape
+    assert L % chunk == 0, "pad L to a multiple of chunk"
+    code = encode_bases(seqs_u8)
+    xh, xl, yl, valid, ovf1, inexact = _register_walk_overlap_compact(
+        code, lengths, k, r, chunk, slots
+    )
+    xh, xl, yl, valid, ovf2 = pairs_ops._rank_extract(
+        xh, xl, yl, valid, block2, slots2
+    )
+    return xh, xl, yl, valid, ovf1 | ovf2 | inexact
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "r", "min_span", "chunk", "exact")
 )

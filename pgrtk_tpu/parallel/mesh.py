@@ -52,13 +52,22 @@ def sharded_sketch_index_step(
     axis = mesh.axis_names[0]
 
     def local_step(seqs_u8, lengths, rids):
-        out = sketch_ops.sketch_mode2_dense(
-            seqs_u8, lengths, rids, k, r, min_span, chunk
-        )
-        xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-            **(compact_kw or {})
-        )
+        if compact_kw is None:
+            # scan-fused sketch + level-1 extract (ops/sketch.py): the
+            # dense full-width planes never touch HBM; the flag also
+            # covers the overlap-walk inexact condition
+            xh, xl, yl, valid, ovf = sketch_ops.sketch_compact_mode2(
+                seqs_u8, lengths, k, r, min_span, chunk
+            )
+        else:
+            # safe rerun: exact two-level walk + conservative compaction
+            out = sketch_ops.sketch_mode2_dense(
+                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
+            )
+            xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
+                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+                **compact_kw
+            )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         # pair consecutive KEPT mers directly (jump-pointer next-kept
         # propagation) — the whole path to the key sort is sort-free
@@ -120,13 +129,22 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
     axis = mesh.axis_names[0]
 
     def local_step(seqs_u8, lengths, rids, key_hi0, key_lo0, key_hi1, key_lo1):
-        out = sketch_ops.sketch_mode2_dense(
-            seqs_u8, lengths, rids, k, r, min_span, chunk
-        )
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-            **(compact_kw or {})
-        )
+        if compact_kw is None:
+            # scan-fused sketch + level-1 extract (ops/sketch.py): the
+            # dense full-width planes never touch HBM; the flag also
+            # covers the overlap-walk inexact condition
+            xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
+                seqs_u8, lengths, k, r, min_span, chunk
+            )
+        else:
+            # safe rerun: exact two-level walk + conservative compaction
+            out = sketch_ops.sketch_mode2_dense(
+                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
+            )
+            xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
+                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+                **compact_kw
+            )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         # vectorized binary search of each pair key in the replicated table
@@ -168,13 +186,22 @@ def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
     axis = mesh.axis_names[0]
 
     def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3):
-        out = sketch_ops.sketch_mode2_dense(
-            seqs_u8, lengths, rids, k, r, min_span, chunk
-        )
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-            **(compact_kw or {})
-        )
+        if compact_kw is None:
+            # scan-fused sketch + level-1 extract (ops/sketch.py): the
+            # dense full-width planes never touch HBM; the flag also
+            # covers the overlap-walk inexact condition
+            xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
+                seqs_u8, lengths, k, r, min_span, chunk
+            )
+        else:
+            # safe rerun: exact two-level walk + conservative compaction
+            out = sketch_ops.sketch_mode2_dense(
+                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
+            )
+            xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
+                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+                **compact_kw
+            )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         B, C = pr["k0_hi"].shape
@@ -329,7 +356,7 @@ def sharded_index_v2_step(
 
     Returns dict(shard=<per-device table planes, sharded along axis>,
     probe=dict(planes, row) sharded likewise, n_pairs, shard_overflow,
-    route_overflow, probe_overflow).
+    route_overflow, probe_overflow, compact_overflow).
     """
     from jax import shard_map
 
@@ -338,13 +365,22 @@ def sharded_index_v2_step(
     bits = probe_bits_for(shard_capacity)
 
     def local_step(seqs_u8, lengths, rids):
-        out = sketch_ops.sketch_mode2_dense(
-            seqs_u8, lengths, rids, k, r, min_span, chunk
-        )
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-            **(compact_kw or {})
-        )
+        if compact_kw is None:
+            # scan-fused sketch + level-1 extract (ops/sketch.py): the
+            # dense full-width planes never touch HBM; the flag also
+            # covers the overlap-walk inexact condition
+            xh, xl, yl, valid, c_ovf = sketch_ops.sketch_compact_mode2(
+                seqs_u8, lengths, k, r, min_span, chunk
+            )
+        else:
+            # safe rerun: exact two-level walk + conservative compaction
+            out = sketch_ops.sketch_mode2_dense(
+                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
+            )
+            xh, xl, yl, valid, c_ovf = pairs_ops.compact_mers_packed(
+                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+                **compact_kw
+            )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         # local key sort in the PACKED layout (7 planes, stable 4-key
@@ -426,6 +462,9 @@ def sharded_index_v2_step(
             probe=dict(planes=planes, row=row),
             n_pairs=n_pairs,
             shard_overflow=shard_overflow,
+            compact_overflow=jax.lax.psum(
+                c_ovf.astype(jnp.int32), axis
+            ) > 0,
             route_overflow=jax.lax.psum(
                 route_overflow.astype(jnp.int32), axis
             ) > 0,
@@ -444,6 +483,7 @@ def sharded_index_v2_step(
             probe=dict(planes=[P(axis)] * 4, row=P(axis)),
             n_pairs=P(),
             shard_overflow=P(),
+            compact_overflow=P(),
             route_overflow=P(),
             probe_overflow=P(),
         ),
@@ -478,13 +518,22 @@ def sharded_query_v2_step(
     bits = probe_bits_for(shard_capacity)
 
     def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3):
-        out = sketch_ops.sketch_mode2_dense(
-            seqs_u8, lengths, rids, k, r, min_span, chunk
-        )
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-            **(compact_kw or {})
-        )
+        if compact_kw is None:
+            # scan-fused sketch + level-1 extract (ops/sketch.py): the
+            # dense full-width planes never touch HBM; the flag also
+            # covers the overlap-walk inexact condition
+            xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
+                seqs_u8, lengths, k, r, min_span, chunk
+            )
+        else:
+            # safe rerun: exact two-level walk + conservative compaction
+            out = sketch_ops.sketch_mode2_dense(
+                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
+            )
+            xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
+                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+                **compact_kw
+            )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
 
