@@ -207,8 +207,8 @@ def _register_walk(code: jnp.ndarray, k: int, r: int, chunk: int):
     return (x_hi, x_lo), meta
 
 
-def _register_walk_overlap(code: jnp.ndarray, k: int, r: int, chunk: int,
-                           overlap: int = 64):
+def _register_walk_overlap(code: jnp.ndarray, lengths: jnp.ndarray,
+                           k: int, r: int, chunk: int, overlap: int = 64):
     """Single-pass variant of _register_walk: each chunk warms its
     registers up from an `overlap`-base prefix of the previous chunk
     instead of the exact two-level composition.  ~1.8x faster (one scan
@@ -217,7 +217,10 @@ def _register_walk_overlap(code: jnp.ndarray, k: int, r: int, chunk: int,
     the v5e; unroll=8 plateaus).  Exact whenever every overlap window contains >= k
     ACGT bases — i.e. no N-run longer than overlap-k straddling a chunk
     boundary; the returned `inexact` flag reports violations so callers
-    can fall back to the exact walk."""
+    can fall back to the exact walk.  Only LIVE chunks (those starting
+    before the row's true length) are checked: the padding beyond a
+    short row always looks like an N-run but can never produce a
+    selected mer, so it must not force the exact rerun."""
     B, L = code.shape
     nc = L // chunk
     core = code.reshape(B, nc, chunk)
@@ -226,8 +229,10 @@ def _register_walk_overlap(code: jnp.ndarray, k: int, r: int, chunk: int,
     windows = jnp.concatenate([prev_tail, core], axis=2)  # (B, nc, chunk+OV)
 
     valid_in_overlap = (prev_tail < 4).sum(axis=2)
-    first_chunk = jax.lax.broadcasted_iota(jnp.int32, (B, nc), 1) == 0
-    inexact = ((valid_in_overlap < k) & ~first_chunk).any()
+    chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, nc), 1)
+    first_chunk = chunk_ids == 0
+    live = chunk_ids * chunk < lengths[:, None]
+    inexact = ((valid_in_overlap < k) & ~first_chunk & live).any()
 
     cols = windows.reshape(B * nc, chunk + overlap).T
 
@@ -267,8 +272,10 @@ def _register_walk_overlap_compact(
     prev_tail = prev_tail.at[:, 0, :].set(jnp.uint32(4))
     windows = jnp.concatenate([prev_tail, core], axis=2)
     valid_in_overlap = (prev_tail < 4).sum(axis=2)
-    first_chunk = jax.lax.broadcasted_iota(jnp.int32, (B, nc), 1) == 0
-    inexact = ((valid_in_overlap < k) & ~first_chunk).any()
+    chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (B, nc), 1)
+    first_chunk = chunk_ids == 0
+    live = chunk_ids * chunk < lengths[:, None]  # see _register_walk_overlap
+    inexact = ((valid_in_overlap < k) & ~first_chunk & live).any()
 
     lanes = B * nc
     cols = windows.reshape(lanes, chunk + overlap).T
@@ -384,7 +391,7 @@ def sketch_mode2_dense(
         x, meta = _register_walk(code, k, r, chunk)
         inexact = jnp.bool_(False)
     else:
-        x, meta, inexact = _register_walk_overlap(code, k, r, chunk)
+        x, meta, inexact = _register_walk_overlap(code, lengths, k, r, chunk)
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_seq = pos < lengths[:, None]
@@ -438,24 +445,33 @@ def min_span_filter_np(x, pos, min_span: int):
 
 def sketch_mode2(seqs, rids=None, spec: ShmmrSpec = None, chunk: int = 512):
     """Convenience host API: sketch byte sequences on device, return per-seq
-    (x, y) uint64 numpy arrays (compacted), matching the scalar reference."""
+    (x, y) uint64 numpy arrays (compacted), matching the scalar reference.
+
+    Uses the scan-fused device compaction so only the ~L/152-wide
+    compacted planes cross the (network-tunneled) device->host link —
+    the dense planes are ~150x more transfer.  Falls back to the exact
+    two-level walk + dense download only when the fused path flags an
+    overflow (dense mer cluster) or a boundary-straddling N-run."""
     spec = spec or ShmmrSpec(sketch=True)
     assert spec.sketch, "sketch_mode2 requires spec.sketch=True"
     if rids is None:
         rids = list(range(len(seqs)))
     arr, lens = pad_batch(seqs, multiple=chunk)
-    out = sketch_mode2_dense(
+    xh, xl, yl, valid, ovf = sketch_compact_mode2(
         jnp.asarray(arr),
         jnp.asarray(lens),
-        jnp.asarray(np.asarray(rids, dtype=np.uint32)),
         spec.k,
         spec.r,
         spec.min_span,
         chunk,
     )
-    if bool(out["inexact"]):
-        # long non-ACGT run straddled a chunk boundary: use the exact
-        # two-level-scan walk
+    if not bool(ovf):
+        sel = np.asarray(valid)
+        x = (np.asarray(xh, dtype=np.uint64) << np.uint64(32)) | np.asarray(
+            xl, dtype=np.uint64
+        )
+        y_lo = np.asarray(yl, dtype=np.uint64)
+    else:
         out = sketch_mode2_dense(
             jnp.asarray(arr),
             jnp.asarray(lens),
@@ -466,11 +482,11 @@ def sketch_mode2(seqs, rids=None, spec: ShmmrSpec = None, chunk: int = 512):
             chunk,
             exact=True,
         )
-    sel = np.asarray(out["selected"])
-    x = (np.asarray(out["x_hi"], dtype=np.uint64) << np.uint64(32)) | np.asarray(
-        out["x_lo"], dtype=np.uint64
-    )
-    y_lo = np.asarray(out["y_lo"], dtype=np.uint64)
+        sel = np.asarray(out["selected"])
+        x = (
+            np.asarray(out["x_hi"], dtype=np.uint64) << np.uint64(32)
+        ) | np.asarray(out["x_lo"], dtype=np.uint64)
+        y_lo = np.asarray(out["y_lo"], dtype=np.uint64)
     res = []
     for i in range(len(seqs)):
         idx = np.flatnonzero(sel[i])

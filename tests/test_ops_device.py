@@ -92,3 +92,45 @@ def test_device_sketch_various_k_r(test_data_dir):
             rx = np.asarray([m[0] for m in ref], dtype=np.uint64)
             dx, _ = out[i]
             assert np.array_equal(rx, dx), (k, r, ms, i)
+
+
+def test_fused_sketch_compact_matches_unfused():
+    """sketch_compact_mode2 (scan-fused level-1 extraction) must produce
+    the exact compact_mers_packed stream, mask short rows identically,
+    and fold the overlap inexact flag into overflow."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import pairs as pairs_ops
+    from pgrtk_tpu.ops import sketch as dsk
+
+    rng = np.random.RandomState(5)
+    B, L = 4, 1 << 16
+    arr = rng.randint(0, 4, size=(B, L)).astype(np.uint8)
+    arr[1, 5200:5210] = 10  # N run far from any chunk boundary
+    lens = np.array([L, 40000, 512, 57], dtype=np.int32)
+    for b, n in enumerate(lens):
+        arr[b, n:] = 10
+    ja, jl = jnp.asarray(arr), jnp.asarray(lens)
+    rids = jnp.arange(B, dtype=jnp.uint32)
+
+    out = dsk.sketch_mode2_dense(ja, jl, rids, 56, 4, 64, 512)
+    assert not bool(out["inexact"])
+    xh0, xl0, yl0, v0, o0 = pairs_ops.compact_mers_packed(
+        out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+    )
+    xh1, xl1, yl1, v1, o1 = dsk.sketch_compact_mode2(ja, jl, 56, 4, 64, 512)
+    assert bool(o0) == bool(o1) == False
+    va = np.asarray(v0)
+    assert np.array_equal(va, np.asarray(v1))
+    for a, b in ((xh0, xh1), (xl0, xl1), (yl0, yl1)):
+        assert np.array_equal(np.asarray(a)[va], np.asarray(b)[va])
+    assert va.sum() > 100
+
+    # an N run straddling a chunk boundary must surface in the fused
+    # overflow flag (the unfused path reports it as `inexact`)
+    arr2 = rng.randint(0, 4, size=(B, L)).astype(np.uint8)
+    arr2[0, 1000:1100] = 10
+    jl2 = jnp.full((B,), L, dtype=jnp.int32)
+    d = dsk.sketch_mode2_dense(jnp.asarray(arr2), jl2, rids, 56, 4, 64, 512)
+    f = dsk.sketch_compact_mode2(jnp.asarray(arr2), jl2, 56, 4, 64, 512)
+    assert bool(d["inexact"]) and bool(f[4])
