@@ -21,7 +21,7 @@ def main():
     from pgrtk_tpu.ops import chain as dchain
 
     rng = np.random.RandomState(1)
-    G, N = 256, 128
+    G, N = 1024, 128
     groups = []
     for _ in range(G):
         n = int(rng.randint(N // 2, N))

@@ -392,6 +392,14 @@ def chain_groups(
     buckets = {}
     for gi, g in enumerate(sorted_groups):
         buckets.setdefault(_next_pow2(max(g.shape[0], 8)), []).append(gi)
+    # merge under-filled buckets upward: every device dispatch pays a
+    # fixed round-trip cost (tens of ms through the network tunnel), so
+    # padding a few groups to the next size is cheaper than a second
+    # dispatch
+    for size in sorted(buckets):
+        bigger = [s for s in buckets if s > size]
+        if bigger and len(buckets[size]) < 32:
+            buckets[min(bigger)].extend(buckets.pop(size))
 
     mg = -1 if max_gap is None else int(max_gap)
     for npad, gids in buckets.items():
@@ -400,6 +408,13 @@ def chain_groups(
         if pad_n > 0:
             anchors = np.pad(anchors, ((0, 0), (0, pad_n), (0, 0)))
             valid = np.pad(valid, ((0, 0), (0, pad_n)))
+        # pad the GROUP dim to a power of two as well (all-invalid rows):
+        # a traced leading dim would otherwise recompile for every
+        # distinct batch's group count (remote compiles run 10s-6min)
+        pad_g = _next_pow2(anchors.shape[0]) - anchors.shape[0]
+        if pad_g > 0:
+            anchors = np.pad(anchors, ((0, pad_g), (0, 0), (0, 0)))
+            valid = np.pad(valid, ((0, pad_g), (0, 0)))
         packed = np.asarray(
             _chain_scores_packed(
                 jnp.asarray(anchors),
@@ -410,7 +425,9 @@ def chain_groups(
                 lookback=lookback,
                 max_span=max_span,
             )
-        )  # ONE device->host transfer
+        )[: len(gids)]  # ONE device->host transfer
+        anchors = anchors[: len(gids)]
+        valid = valid[: len(gids)]
         n_cols = anchors.shape[1]
         scores = np.ascontiguousarray(packed[:, :n_cols]).view(np.float32)
         prev = packed[:, n_cols : 2 * n_cols]
