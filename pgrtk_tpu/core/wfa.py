@@ -241,8 +241,14 @@ def batch_get_variant_segments(
     from ..utils import dispatch
 
     total = sum(len(t) + len(q) for t, q in rev)
+    # device WFA is opt-in (force_device="device"): the forward kernel's
+    # extend step re-reads the full (G, 2L, L) run-length plane every
+    # score step, so it measures ~17x SLOWER than the threaded native
+    # host path on the v5e (bench_wfa.py: 216 vs 3700 seg/s) — the
+    # kernel stays as the batched/device capability with its bit-exact
+    # tests, but production batches route to the host
     if dispatch.use_device(
-        total, forced=force_device, what="wfa", min_bases=8192
+        total, forced=force_device or "host", what="wfa", min_bases=8192
     ):
         from ..ops import wfa as dev_wfa
 

@@ -163,10 +163,15 @@ def wfa_forward_batch(
     def hist_plane(Mp):
         return jnp.where(Mp <= NEG, -1, Mp).astype(jnp.int16)
 
-    m_hist = jnp.full((S_max + 1, G, D), -1, dtype=jnp.int16)
+    # K extra history rows: the while_loop advances K score steps per
+    # iteration (8x fewer latency-bound loop dispatches), so s can
+    # overshoot S_max by up to K-1 — completions there are still exact
+    # DP results and stay in bounds
+    K_STEPS = 8
+    m_hist = jnp.full((S_max + K_STEPS + 1, G, D), -1, dtype=jnp.int16)
     m_hist = m_hist.at[0].set(hist_plane(M0))
-    lo_hist = jnp.zeros((S_max + 1, G), dtype=jnp.int16)
-    hi_hist = jnp.full((S_max + 1, G), -1, dtype=jnp.int16)
+    lo_hist = jnp.zeros((S_max + K_STEPS + 1, G), dtype=jnp.int16)
+    hi_hist = jnp.full((S_max + K_STEPS + 1, G), -1, dtype=jnp.int16)
     hi_hist = hi_hist.at[0].set(0)
 
     Mr = jnp.full((ring, G, D), NEG, dtype=jnp.int32).at[0].set(M0)
@@ -302,11 +307,16 @@ def wfa_forward_batch(
             s + 1, Mr, Ir, Dr, lor, hir, m_hist, lo_hist, hi_hist, final_s
         )
 
+    def body_k(carry):
+        for _ in range(K_STEPS):
+            carry = body(carry)
+        return carry
+
     carry = (
         jnp.int32(1), Mr, Ir, Dr, lor, hir, m_hist, lo_hist, hi_hist,
         final_s,
     )
-    carry = jax.lax.while_loop(cond, body, carry)
+    carry = jax.lax.while_loop(cond, body_k, carry)
     (_s, _Mr, _Ir, _Dr, _lor, _hir, m_hist, lo_hist, hi_hist, final_s) = carry
     return dict(
         m_hist=m_hist, lo_hist=lo_hist, hi_hist=hi_hist, final_s=final_s
