@@ -55,11 +55,8 @@ def main():
     rids = jnp.arange(B, dtype=jnp.uint32)
 
     def sketch_pairs(seqs_u8):
-        out = sketch_ops.sketch_mode2_dense(
-            seqs_u8, lens, rids, 56, 4, 64, CHUNK
-        )
-        xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-            out["x_hi"], out["x_lo"], out["y_lo"], out["selected"]
+        xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
+            seqs_u8, lens, 56, 4, 64, CHUNK
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, 64)
         return pairs_ops.pair_mers_gapped(xh, xl, yl, keep)

@@ -220,12 +220,14 @@ def batch_get_variant_segments(
     force_device=None,
     threads: Optional[int] = None,
 ):
-    """get_variant_segments over many (target, query) byte pairs at once:
-    the reversed suffixes are aligned as ONE device batch (ops/wfa.py —
-    bit-exact to the scalar arbiter, host fallback per segment) when an
-    accelerator is live and the batch is big enough, else on a host
-    thread pool (the native WFA call releases the GIL; `threads` caps
-    the pool like the reference's rayon thread flag).  Returns a list
+    """get_variant_segments over many (target, query) byte pairs at once.
+
+    Default routing is the HOST thread pool (the native WFA call
+    releases the GIL; `threads` caps the pool like the reference's
+    rayon thread flag) — the device kernel measures ~17x slower on the
+    v5e (see bench_wfa.py and the inline comment below).  Pass
+    force_device="device" to run the batched device kernel (bit-exact
+    to the scalar arbiter, per-segment host fallback).  Returns a list
     of per-pair variant lists (None entries where the alignment did not
     complete)."""
     pairs = [

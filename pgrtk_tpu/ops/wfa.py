@@ -109,9 +109,11 @@ def wfa_forward_batch(
     Args:
       t_batch, q_batch: (G, L) u8 padded sequences
       n, m: (G,) i32 true lengths (<= L)
-    Returns dict:
-      m_hist : (S_max + 1, G, 2L) i16 — M wavefront per score (-1 = null)
-      lo_hist, hi_hist : (S_max + 1, G) i16 — per-score window
+    Returns dict (history arrays carry K_STEPS=8 extra rows because the
+    while_loop advances 8 score steps per iteration, so final_s can
+    overshoot S_max by up to 7 — such completions are exact DP results):
+      m_hist : (S_max + 9, G, 2L) i16 — M wavefront per score (-1 = null)
+      lo_hist, hi_hist : (S_max + 9, G) i16 — per-score window
       final_s : (G,) i32 — completing score, or -1 (host fallback needed)
     """
     G = t_batch.shape[0]

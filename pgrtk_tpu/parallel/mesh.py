@@ -31,6 +31,28 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+
+def _sketch_compact(seqs_u8, lengths, rids, k, r, min_span, chunk,
+                    compact_kw):
+    """Shared sketch+compaction front end for every sharded step: the
+    scan-fused path by default, or the exact two-level walk + explicit
+    compaction sizing (pairs_ops.SAFE_COMPACT_KW) for the overflow-gated
+    safe rerun.  The returned flag covers compaction overflow AND the
+    overlap-walk inexact condition — steps must surface it so callers
+    can rerun with compact_kw set."""
+    if compact_kw is None:
+        return sketch_ops.sketch_compact_mode2(
+            seqs_u8, lengths, k, r, min_span, chunk
+        )
+    out = sketch_ops.sketch_mode2_dense(
+        seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
+    )
+    return pairs_ops.compact_mers_packed(
+        out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
+        **compact_kw
+    )
+
+
 def sharded_sketch_index_step(
     mesh: Mesh,
     k: int = 56,
@@ -52,22 +74,9 @@ def sharded_sketch_index_step(
     axis = mesh.axis_names[0]
 
     def local_step(seqs_u8, lengths, rids):
-        if compact_kw is None:
-            # scan-fused sketch + level-1 extract (ops/sketch.py): the
-            # dense full-width planes never touch HBM; the flag also
-            # covers the overlap-walk inexact condition
-            xh, xl, yl, valid, ovf = sketch_ops.sketch_compact_mode2(
-                seqs_u8, lengths, k, r, min_span, chunk
-            )
-        else:
-            # safe rerun: exact two-level walk + conservative compaction
-            out = sketch_ops.sketch_mode2_dense(
-                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
-            )
-            xh, xl, yl, valid, ovf = pairs_ops.compact_mers_packed(
-                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-                **compact_kw
-            )
+        xh, xl, yl, valid, ovf = _sketch_compact(
+            seqs_u8, lengths, rids, k, r, min_span, chunk, compact_kw
+        )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         # pair consecutive KEPT mers directly (jump-pointer next-kept
         # propagation) — the whole path to the key sort is sort-free
@@ -123,28 +132,17 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
                              compact_kw: Optional[dict] = None):
     """Multi-chip query step: sketch the (sharded) query batch against a
     replicated sorted key table; per-shard hit counts are merged with
-    psum and the per-query hit mask all_gathered."""
+    psum and the per-query hit mask all_gathered.  Returns (n_hits,
+    all_hits, overflow); on overflow rerun a step built with
+    compact_kw=pairs_ops.SAFE_COMPACT_KW."""
     from jax import shard_map
 
     axis = mesh.axis_names[0]
 
     def local_step(seqs_u8, lengths, rids, key_hi0, key_lo0, key_hi1, key_lo1):
-        if compact_kw is None:
-            # scan-fused sketch + level-1 extract (ops/sketch.py): the
-            # dense full-width planes never touch HBM; the flag also
-            # covers the overlap-walk inexact condition
-            xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
-                seqs_u8, lengths, k, r, min_span, chunk
-            )
-        else:
-            # safe rerun: exact two-level walk + conservative compaction
-            out = sketch_ops.sketch_mode2_dense(
-                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
-            )
-            xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-                **compact_kw
-            )
+        xh, xl, yl, valid, _ovf = _sketch_compact(
+            seqs_u8, lengths, rids, k, r, min_span, chunk, compact_kw
+        )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         # vectorized binary search of each pair key in the replicated table
@@ -155,7 +153,8 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
         hit = hit & pr["pair_valid"]
         n_hits = jax.lax.psum(hit.sum(), axis)
         all_hits = jax.lax.all_gather(hit, axis, tiled=True)
-        return n_hits, all_hits
+        overflow = jax.lax.psum(_ovf.astype(jnp.int32), axis) > 0
+        return n_hits, all_hits, overflow
 
     sharded = shard_map(
         local_step,
@@ -163,7 +162,7 @@ def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
         in_specs=(
             P(axis, None), P(axis), P(axis), P(), P(), P(), P(),
         ),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -178,7 +177,9 @@ def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
     W-wide compare per pair key instead of a gather-bound binary search.
 
     The returned fn takes (seqs_u8, lengths, rids, p0, p1, p2, p3) with
-    p* the (2^bits, W) probe planes (replicated)."""
+    p* the (2^bits, W) probe planes (replicated).  Returns (n_hits,
+    all_hits, overflow); on overflow rerun a step built with
+    compact_kw=pairs_ops.SAFE_COMPACT_KW."""
     from jax import shard_map
 
     from ..ops import probe as probe_ops
@@ -186,22 +187,9 @@ def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
     axis = mesh.axis_names[0]
 
     def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3):
-        if compact_kw is None:
-            # scan-fused sketch + level-1 extract (ops/sketch.py): the
-            # dense full-width planes never touch HBM; the flag also
-            # covers the overlap-walk inexact condition
-            xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
-                seqs_u8, lengths, k, r, min_span, chunk
-            )
-        else:
-            # safe rerun: exact two-level walk + conservative compaction
-            out = sketch_ops.sketch_mode2_dense(
-                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
-            )
-            xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-                **compact_kw
-            )
+        xh, xl, yl, valid, _ovf = _sketch_compact(
+            seqs_u8, lengths, rids, k, r, min_span, chunk, compact_kw
+        )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         B, C = pr["k0_hi"].shape
@@ -214,7 +202,8 @@ def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
         hit = found.reshape(B, C) & pr["pair_valid"]
         n_hits = jax.lax.psum(hit.sum(), axis)
         all_hits = jax.lax.all_gather(hit, axis, tiled=True)
-        return n_hits, all_hits
+        overflow = jax.lax.psum(_ovf.astype(jnp.int32), axis) > 0
+        return n_hits, all_hits, overflow
 
     sharded = shard_map(
         local_step,
@@ -222,7 +211,7 @@ def sharded_query_probe_step(mesh: Mesh, bits: int, k: int = 56,
         in_specs=(
             P(axis, None), P(axis), P(axis), P(), P(), P(), P(),
         ),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -365,22 +354,9 @@ def sharded_index_v2_step(
     bits = probe_bits_for(shard_capacity)
 
     def local_step(seqs_u8, lengths, rids):
-        if compact_kw is None:
-            # scan-fused sketch + level-1 extract (ops/sketch.py): the
-            # dense full-width planes never touch HBM; the flag also
-            # covers the overlap-walk inexact condition
-            xh, xl, yl, valid, c_ovf = sketch_ops.sketch_compact_mode2(
-                seqs_u8, lengths, k, r, min_span, chunk
-            )
-        else:
-            # safe rerun: exact two-level walk + conservative compaction
-            out = sketch_ops.sketch_mode2_dense(
-                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
-            )
-            xh, xl, yl, valid, c_ovf = pairs_ops.compact_mers_packed(
-                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-                **compact_kw
-            )
+        xh, xl, yl, valid, c_ovf = _sketch_compact(
+            seqs_u8, lengths, rids, k, r, min_span, chunk, compact_kw
+        )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
         # local key sort in the PACKED layout (7 planes, stable 4-key
@@ -510,7 +486,9 @@ def sharded_query_v2_step(
 
     Takes (seqs_u8, lengths, rids, p0, p1, p2, p3) with p* the per-shard
     probe planes from sharded_index_v2_step (sharded along the axis) and
-    returns (n_hits, found mask over the gathered query pair slots).
+    returns (n_hits, found mask over the gathered query pair slots,
+    overflow); on overflow rerun a step built with
+    compact_kw=pairs_ops.SAFE_COMPACT_KW.
     """
     from jax import shard_map
 
@@ -518,22 +496,9 @@ def sharded_query_v2_step(
     bits = probe_bits_for(shard_capacity)
 
     def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3):
-        if compact_kw is None:
-            # scan-fused sketch + level-1 extract (ops/sketch.py): the
-            # dense full-width planes never touch HBM; the flag also
-            # covers the overlap-walk inexact condition
-            xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
-                seqs_u8, lengths, k, r, min_span, chunk
-            )
-        else:
-            # safe rerun: exact two-level walk + conservative compaction
-            out = sketch_ops.sketch_mode2_dense(
-                seqs_u8, lengths, rids, k, r, min_span, chunk, exact=True
-            )
-            xh, xl, yl, valid, _ovf = pairs_ops.compact_mers_packed(
-                out["x_hi"], out["x_lo"], out["y_lo"], out["selected"],
-                **compact_kw
-            )
+        xh, xl, yl, valid, _ovf = _sketch_compact(
+            seqs_u8, lengths, rids, k, r, min_span, chunk, compact_kw
+        )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
         pr = pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
 
@@ -556,7 +521,8 @@ def sharded_query_v2_step(
             (hit & q_valid).astype(jnp.int32), axis
         ) > 0
         n_hits = found.sum()
-        return n_hits, found
+        overflow = jax.lax.psum(_ovf.astype(jnp.int32), axis) > 0
+        return n_hits, found, overflow
 
     sharded = shard_map(
         local_step,
@@ -565,7 +531,7 @@ def sharded_query_v2_step(
             P(axis, None), P(axis), P(axis),
             P(axis), P(axis), P(axis), P(axis),
         ),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -182,7 +182,8 @@ def test_sharded_index_v2_matches_v1():
         jax.device_put(p, NamedSharding(mesh, P(axis)))
         for p in v2["probe"]["planes"]
     )
-    n_hits, _found = qstep(sd, ld, rd, *planes)
+    n_hits, _found, q_ovf = qstep(sd, ld, rd, *planes)
+    assert not bool(q_ovf)
     # self-query: every indexed pair key must be found
     assert int(n_hits) >= int(v2["n_pairs"])
 
