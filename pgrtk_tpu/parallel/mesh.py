@@ -127,6 +127,46 @@ def sharded_sketch_index_step(
     return jax.jit(sharded)
 
 
+def sharded_sketch_index_step_auto(
+    mesh: Mesh,
+    k: int = 56,
+    r: int = 4,
+    min_span: int = 64,
+    chunk: int = 512,
+):
+    """Overflow-safe driver around sharded_sketch_index_step: runs the
+    fast fused step, and when its overflow flag fires (a dense repeat
+    cluster beyond the aggressive compaction sizing, or a
+    boundary-straddling N-run) reruns the same batch through the exact
+    two-level walk + SAFE_COMPACT_KW sizing.  The safe step compiles
+    lazily (first overflow) and is reused.  Raises OverflowError if even
+    the safe sizing overflows — callers then build via the exact host
+    path."""
+    fast = sharded_sketch_index_step(mesh, k, r, min_span, chunk)
+    safe_step = []
+
+    def run(seqs_u8, lengths, rids):
+        out = fast(seqs_u8, lengths, rids)
+        if not bool(out["overflow"]):
+            return out
+        if not safe_step:
+            safe_step.append(
+                sharded_sketch_index_step(
+                    mesh, k, r, min_span, chunk,
+                    compact_kw=pairs_ops.SAFE_COMPACT_KW,
+                )
+            )
+        out = safe_step[0](seqs_u8, lengths, rids)
+        if bool(out["overflow"]):
+            raise OverflowError(
+                "compaction overflow at SAFE_COMPACT_KW sizing; "
+                "rebuild this batch via the exact host path"
+            )
+        return out
+
+    return run
+
+
 def sharded_query_count_step(mesh: Mesh, k: int = 56, r: int = 4,
                              min_span: int = 64, chunk: int = 512,
                              compact_kw: Optional[dict] = None):

@@ -310,3 +310,59 @@ def test_compact_overflow_flag_and_safe_rerun():
     assert int(valid.sum()) == 15
     got_pos = np.sort(np.asarray(yl)[np.asarray(valid)] >> 1)
     assert np.array_equal(got_pos, np.arange(100, 115))
+
+
+def test_index_step_auto_rerun_on_overflow():
+    """A dense periodic repeat (16 selected mers in one 512 window)
+    overflows the fast fused step's 12-slot compaction; the _auto driver
+    must detect it, rerun at SAFE_COMPACT_KW sizing, and produce the
+    exact scalar-reference pair table."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    # period-11 motif whose phase-4 56-mer hashes under the mode-2
+    # threshold: every 11th position of the run is selected
+    motif = [0, 0, 1, 2, 0, 0, 0, 2, 0, 0, 1]  # AACGAAAGAAC
+    rng = np.random.default_rng(7)
+    B, L = 8, 4096
+    seqs = rng.integers(0, 4, size=(B, L), dtype=np.uint8)
+    run = (motif * 24)[: 56 + 14 * 11]
+    seqs[0, 1088 : 1088 + len(run)] = run
+
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    expected = _expected_pairs(
+        [bases[row].tobytes() for row in seqs], SPEC
+    )
+
+    n = 8
+    mesh = pmesh.make_mesh(n)
+    axis = mesh.axis_names[0]
+    sd = jax.device_put(jnp.asarray(seqs), NamedSharding(mesh, P(axis, None)))
+    ld = jax.device_put(
+        jnp.full(B, L, dtype=jnp.int32), NamedSharding(mesh, P(axis))
+    )
+    rd = jax.device_put(
+        jnp.arange(B, dtype=jnp.uint32), NamedSharding(mesh, P(axis))
+    )
+
+    # the plain fast step must FLAG the overflow
+    fast_out = pmesh.sharded_sketch_index_step(mesh, chunk=512)(sd, ld, rd)
+    assert bool(fast_out["overflow"])
+
+    # ... and the auto driver must recover exactly
+    out = pmesh.sharded_sketch_index_step_auto(mesh, chunk=512)(sd, ld, rd)
+    assert not bool(out["overflow"])
+    t = out["table"]
+    valid = np.asarray(t["valid"])
+    k0 = (np.asarray(t["k0_hi"]).astype(np.uint64) << np.uint64(32)) | np.asarray(t["k0_lo"])
+    k1 = (np.asarray(t["k1_hi"]).astype(np.uint64) << np.uint64(32)) | np.asarray(t["k1_lo"])
+    got = {}
+    for j in np.flatnonzero(valid):
+        got.setdefault((int(k0[j]), int(k1[j])), []).append(
+            (int(np.asarray(t["sid"])[j]), int(np.asarray(t["bgn"])[j]),
+             int(np.asarray(t["end"])[j]), int(np.asarray(t["orientation"])[j]))
+        )
+    assert got == expected
