@@ -206,14 +206,24 @@ def write_frag_files(db, prefix: str, chunk_size: int = 256) -> None:
     chunks = [
         out_frags[i : i + chunk_size] for i in range(0, len(out_frags), chunk_size)
     ]
+
+    def _deflate(chunk):
+        comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+        return comp.compress(bincodec.write_fragments(chunk)) + comp.flush()
+
+    # deflate dominates the write (~97% measured) and releases the GIL:
+    # compress chunks on a thread pool, write in order (the reference
+    # rayon-parallelizes the same loop, seq_db.rs:814-874)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor() as ex:
+        blobs = list(ex.map(_deflate, chunks))
     addrs = []
     offset = 0
     with open(prefix + ".frg", "wb") as f:
         f.write(FRG_MAGIC)
-        for chunk in chunks:
+        for chunk, blob in zip(chunks, blobs):
             total_bases = sum(_frag_base_len(fr, k) for fr in chunk)
-            comp = zlib.compressobj(6, zlib.DEFLATED, -15)
-            blob = comp.compress(bincodec.write_fragments(chunk)) + comp.flush()
             addrs.append((offset, len(blob), total_bases))
             offset += len(blob)
             f.write(blob)
