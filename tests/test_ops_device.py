@@ -134,3 +134,29 @@ def test_fused_sketch_compact_matches_unfused():
     d = dsk.sketch_mode2_dense(jnp.asarray(arr2), jl2, rids, 56, 4, 64, 512)
     f = dsk.sketch_compact_mode2(jnp.asarray(arr2), jl2, 56, 4, 64, 512)
     assert bool(d["inexact"]) and bool(f[4])
+
+
+def test_sketch_mode2_wrapper_overflow_fallback_exact():
+    """sketch_mode2 (host API) must fall back to the exact dense path
+    when the fused compaction overflows — a dense periodic repeat (16
+    selected in one 512 window) — and still match the scalar arbiter."""
+    from pgrtk_tpu.core import sketch_ref
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import sketch as dsk
+
+    motif = [0, 0, 1, 2, 0, 0, 0, 2, 0, 0, 1]  # AACGAAAGAAC, phase-4 low hash
+    rng = np.random.RandomState(7)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    row = rng.randint(0, 4, size=4096).astype(np.uint8)
+    run = (motif * 24)[: 56 + 14 * 11]
+    row[1088 : 1088 + len(run)] = run
+    seqs = [bases[row].tobytes(), bases[rng.randint(0, 4, 2000)].tobytes()]
+
+    spec = ShmmrSpec(sketch=True)
+    got = dsk.sketch_mode2(seqs, spec=spec)
+    for sid, s in enumerate(seqs):
+        exp = sketch_ref.sequence_to_shmmrs(sid, s, spec)
+        xs = np.asarray([m[0] for m in exp], dtype=np.uint64)
+        ys = np.asarray([m[1] for m in exp], dtype=np.uint64)
+        assert np.array_equal(got[sid][0], xs), f"x mismatch sid={sid}"
+        assert np.array_equal(got[sid][1], ys), f"y mismatch sid={sid}"

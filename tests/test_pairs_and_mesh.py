@@ -164,6 +164,7 @@ def test_sharded_index_v2_matches_v1():
     assert not bool(v2["shard_overflow"])
     assert not bool(v2["route_overflow"])
     assert not bool(v2["probe_overflow"])
+    assert not bool(v2["compact_overflow"])
     assert int(v2["n_pairs"]) == len(keys1)
     sh = v2["shard"]
     valid2 = np.asarray(sh["valid"])
