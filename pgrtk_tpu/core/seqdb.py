@@ -54,24 +54,29 @@ class CompactSeqDB:
         self, records: Sequence[Tuple[Optional[str], str, bytes]], store_frags: bool = True
     ) -> None:
         """records: iterable of (source, name, seq)."""
-        sketch = self._sketcher()
         base_sid = len(self.seqs)
         seqs = [(base_sid + i, src, name, s) for i, (src, name, s) in enumerate(records)]
-        from .sketch import batch_sequence_to_shmmrs
+        from .sketch import batch_sequence_to_shmmrs_arrays
 
-        all_shmmrs = batch_sequence_to_shmmrs(
+        all_shmmrs = batch_sequence_to_shmmrs_arrays(
             [(sid, s) for sid, _, _, s in seqs], self.spec
         )
-        for (sid, source, name, seq), shmmrs in zip(seqs, all_shmmrs):
-            self._add_seq(sid, source, name, seq, shmmrs, store_frags)
+        for (sid, source, name, seq), (mx, my) in zip(seqs, all_shmmrs):
+            self._add_seq(sid, source, name, seq, mx, my, store_frags)
 
-    def _add_seq(self, sid, source, name, seq, shmmrs, store_frags):
+    def _add_seq(self, sid, source, name, seq, mx, my, store_frags):
+        """mx/my: the sequence's (x, y) uint64 mer arrays.  Pair keys,
+        orientations, and signatures are built vectorized; the frag_map
+        groups are appended in position order (stable key sort), which
+        preserves the reference's per-key postings order."""
+        import numpy as np
+
         k = self.spec.k
         frg_id = len(self.frags)
         first_frg = frg_id
-        n_frags = 0
+        n = len(mx)
 
-        if len(shmmrs) == 0:
+        if n == 0:
             # reference: seq_db.rs:207-224 (prefix=whole seq, empty suffix;
             # both entries reuse the same id in the reference)
             self.frags.append((PREFIX, bytes(seq) if store_frags else b""))
@@ -79,36 +84,83 @@ class CompactSeqDB:
             self.seqs.append(CompactSeq(source, name, sid, (first_frg, 2), len(seq)))
             return
 
-        positions = [(m[1] & 0xFFFFFFFF) >> 1 for m in shmmrs]
-        hashes = [m[0] >> 8 for m in shmmrs]
+        positions = ((my & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(
+            np.int64
+        )
+        hashes = mx >> np.uint64(8)
 
         # prefix fragment: seq[..pos0+1]
-        end0 = positions[0] + 1
+        end0 = int(positions[0]) + 1
         self.frags.append((PREFIX, bytes(seq[:end0]) if store_frags else b""))
-        n_frags += 1
         frg_id += 1
 
-        for i in range(len(shmmrs) - 1):
-            s0, s1 = hashes[i], hashes[i + 1]
-            if s0 <= s1:
-                key, orientation = (s0, s1), 0
-            else:
-                key, orientation = (s1, s0), 1
-            bgn = positions[i] + 1
-            end = positions[i + 1] + 1
-            self.frag_map.setdefault(key, []).append(
-                (frg_id, sid, bgn, end, orientation)
+        bgn = positions[:-1] + 1
+        end = positions[1:] + 1
+        fids = np.arange(frg_id, frg_id + n - 1, dtype=np.int64)
+        self._append_pair_signatures(hashes, fids, sid, bgn, end)
+        if store_frags:
+            bl = bgn.tolist()
+            el = end.tolist()
+            self.frags.extend(
+                (INTERNAL, bytes(seq[b - k : e])) for b, e in zip(bl, el)
             )
-            frag_bases = bytes(seq[bgn - k : end]) if store_frags else b""
-            self.frags.append((INTERNAL, frag_bases))
-            n_frags += 1
-            frg_id += 1
+        else:
+            self.frags.extend((INTERNAL, b"") for _ in range(n - 1))
+        frg_id += n - 1
 
-        bgn_s = positions[-1] + 1
+        bgn_s = int(positions[-1]) + 1
         self.frags.append((SUFFIX, bytes(seq[bgn_s:]) if store_frags else b""))
-        n_frags += 1
 
-        self.seqs.append(CompactSeq(source, name, sid, (first_frg, n_frags), len(seq)))
+        self.seqs.append(
+            CompactSeq(source, name, sid, (first_frg, n + 1), len(seq))
+        )
+
+    def _append_pair_signatures(self, hashes, fids, sid, bgn, end):
+        """Vectorized canonical-pair construction + grouped frag_map
+        append.  Builder tie-break: s0 <= s1 -> orientation 0
+        (reference: seq_db.rs:391)."""
+        import numpy as np
+
+        s0 = hashes[:-1]
+        s1 = hashes[1:]
+        if len(s0) == 0:
+            return
+        swap = s0 > s1
+        k0 = np.where(swap, s1, s0)
+        k1 = np.where(swap, s0, s1)
+        # stable lexicographic sort via a complex128 view: 56-bit hashes
+        # stay below the f64 NaN/sign patterns, so complex order ==
+        # integer order (same trick as graph/bundles.py::_intern_pairs)
+        pair = np.empty((len(k0), 2), dtype=np.uint64)
+        pair[:, 0] = k0
+        pair[:, 1] = k1
+        cview = pair.view(np.complex128).reshape(-1)
+        order = np.argsort(cview, kind="stable")
+        k0l = k0[order].tolist()
+        k1l = k1[order].tolist()
+        rows = list(
+            zip(
+                fids[order].tolist(),
+                [sid] * len(k0l),
+                bgn[order].tolist(),
+                end[order].tolist(),
+                swap[order].astype(np.int64).tolist(),
+            )
+        )
+        fm = self.frag_map
+        i = 0
+        m = len(k0l)
+        while i < m:
+            j = i + 1
+            key = (k0l[i], k1l[i])
+            while j < m and k0l[j] == key[0] and k1l[j] == key[1]:
+                j += 1
+            lst = fm.get(key)
+            if lst is None:
+                fm[key] = list(rows[i:j])
+            else:
+                lst.extend(rows[i:j])
+            i = j
 
     def load_index_only(
         self, records: Sequence[Tuple[Optional[str], str, bytes]], base_sid=None
@@ -117,28 +169,31 @@ class CompactSeqDB:
         numbered 0..n_pairs-1 PER SEQUENCE, matching the reference's
         seq_to_index signature numbering (seq_db.rs:360-418) so .mdb
         output from the archive path is signature-exact."""
+        import numpy as np
+
         if base_sid is None:
             base_sid = len(self.seqs)
         seqs = [
             (base_sid + i, src, name, s) for i, (src, name, s) in enumerate(records)
         ]
-        from .sketch import batch_sequence_to_shmmrs
+        from .sketch import batch_sequence_to_shmmrs_arrays
 
-        all_shmmrs = batch_sequence_to_shmmrs(
+        all_shmmrs = batch_sequence_to_shmmrs_arrays(
             [(sid, s) for sid, _, _, s in seqs], self.spec
         )
-        for (sid, source, name, seq), shmmrs in zip(seqs, all_shmmrs):
-            positions = [(m[1] & 0xFFFFFFFF) >> 1 for m in shmmrs]
-            hashes = [m[0] >> 8 for m in shmmrs]
-            n_pairs = max(0, len(shmmrs) - 1)
-            for i in range(n_pairs):
-                s0, s1 = hashes[i], hashes[i + 1]
-                if s0 <= s1:
-                    key, orientation = (s0, s1), 0
-                else:
-                    key, orientation = (s1, s0), 1
-                self.frag_map.setdefault(key, []).append(
-                    (i, sid, positions[i] + 1, positions[i + 1] + 1, orientation)
+        for (sid, source, name, seq), (mx, my) in zip(seqs, all_shmmrs):
+            n_pairs = max(0, len(mx) - 1)
+            if n_pairs:
+                positions = (
+                    (my & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
+                ).astype(np.int64)
+                hashes = mx >> np.uint64(8)
+                self._append_pair_signatures(
+                    hashes,
+                    np.arange(n_pairs, dtype=np.int64),
+                    sid,
+                    positions[:-1] + 1,
+                    positions[1:] + 1,
                 )
             self.seqs.append(
                 CompactSeq(source, name, sid, (0, n_pairs), len(seq))

@@ -79,3 +79,47 @@ def batch_sequence_to_shmmrs(
     if nat is not None:
         return nat.batch_sequence_to_shmmrs(seqs, spec, padding)
     return [sketch_ref.sequence_to_shmmrs(rid, s, spec, padding) for rid, s in seqs]
+
+
+def batch_sequence_to_shmmrs_arrays(
+    seqs: Sequence[Tuple[int, bytes]], spec: ShmmrSpec, padding: bool = False
+):
+    """batch_sequence_to_shmmrs returning per-seq (x, y) uint64 numpy
+    arrays instead of tuple lists — at batch scale the Python tuple
+    materialization costs more than the sketch itself, and the index
+    build consumes arrays directly (core/seqdb.py)."""
+    import numpy as np
+
+    if not padding and seqs:
+        from ..utils import dispatch
+
+        total = sum(len(s) for _rid, s in seqs)
+        if dispatch.use_device(total, forced=_FORCE, what="sketch"):
+            byte_seqs = [s for _rid, s in seqs]
+            rids = [rid for rid, _s in seqs]
+            if spec.sketch:
+                from ..ops import sketch as dsk
+
+                return dsk.sketch_mode2(byte_seqs, rids, spec)
+            from ..ops import sketch1 as dsk1
+
+            return [
+                (
+                    np.asarray([m[0] for m in ms], dtype=np.uint64),
+                    np.asarray([m[1] for m in ms], dtype=np.uint64),
+                )
+                for ms in dsk1.sketch_mode1(byte_seqs, rids, spec)
+            ]
+    nat = _native()
+    if nat is not None:
+        return nat.batch_sequence_to_shmmrs_arrays(seqs, spec, padding)
+    return [
+        (
+            np.asarray([m[0] for m in ms], dtype=np.uint64),
+            np.asarray([m[1] for m in ms], dtype=np.uint64),
+        )
+        for ms in (
+            sketch_ref.sequence_to_shmmrs(rid, s, spec, padding)
+            for rid, s in seqs
+        )
+    ]
