@@ -170,21 +170,50 @@ class SeqIndexDB:
         starts = db.index_starts
         counts = db.index_counts
         sigs = db.index_sigs
-        k0 = keys[:, 0]
-        k1 = keys[:, 1]
+        # combined (k0, k1) key as a complex128 VIEW: 56-bit hashes stay
+        # below the f64 NaN/sign patterns, so complex lexicographic order
+        # == integer lexicographic order and ONE searchsorted replaces
+        # the three-step per-key binary search (same trick as
+        # graph/bundles.py::_intern_pairs)
+        ckeys = np.ascontiguousarray(keys).view(np.complex128).reshape(-1)
+        n_keys = len(ckeys)
+
+        def _block(j):
+            s, c = int(starts[j]), int(counts[j])
+            return sigs[s : s + c].tolist()
 
         def lookup(s0, s1):
-            lo = np.searchsorted(k0, np.uint64(s0), side="left")
-            hi = np.searchsorted(k0, np.uint64(s0), side="right")
-            if lo == hi:
+            q = np.empty(2, dtype=np.uint64)
+            q[0] = s0
+            q[1] = s1
+            cq = q.view(np.complex128)[0]
+            j = int(np.searchsorted(ckeys, cq, side="left"))
+            if j >= n_keys or ckeys[j] != cq:
                 return []
-            j = lo + np.searchsorted(k1[lo:hi], np.uint64(s1), side="left")
-            if j >= hi or k1[j] != np.uint64(s1):
-                return []
-            s, c = int(starts[j]), int(counts[j])
-            block = sigs[s : s + c]
-            return [tuple(int(x) for x in rec) for rec in block]
+            return _block(j)
 
+        def lookup_many(s0_arr, s1_arr):
+            """Vectorized lookup of n (hash0, hash1) keys at once:
+            returns a list of n signature lists."""
+            n = len(s0_arr)
+            q = np.empty((n, 2), dtype=np.uint64)
+            q[:, 0] = s0_arr
+            q[:, 1] = s1_arr
+            cq = q.view(np.complex128).reshape(-1)
+            js = np.searchsorted(ckeys, cq, side="left")
+            js_c = np.minimum(js, n_keys - 1) if n_keys else js
+            found = (
+                (js < n_keys) & (ckeys[js_c] == cq) if n_keys
+                else np.zeros(n, dtype=bool)
+            )
+            out = []
+            fl = found.tolist()
+            jl = js.tolist()
+            for i in range(n):
+                out.append(_block(jl[i]) if fl[i] else [])
+            return out
+
+        lookup.many = lookup_many
         return lookup
 
     def get_shmmr_spec(self):

@@ -91,33 +91,40 @@ def read_mdb_columnar(filepath: str):
       counts : (n_keys,) int64
       sigs   : structured array (SIG_DTYPE) of all signatures, grouped by key
     """
-    with open(filepath, "rb") as f:
-        data = f.read()
-    buf = memoryview(data)
-    spec, nkeys, cursor = _read_header(buf)
-    keys = np.empty((nkeys, 2), dtype=np.uint64)
-    counts = np.empty(nkeys, dtype=np.int64)
-    blocks = []
-    for i in range(nkeys):
-        k0, k1, n = struct.unpack_from("<3Q", buf, cursor)
-        cursor += 24
-        keys[i, 0] = k0
-        keys[i, 1] = k1
-        counts[i] = n
-        blocks.append(np.frombuffer(data, dtype=SIG_DTYPE, count=n, offset=cursor))
-        cursor += 17 * n
+    # offsets-only scan (native C++ when built, mmap walk otherwise),
+    # then ONE ragged byte gather assembles the key-sorted signature
+    # column — the per-key frombuffer + 150k-way structured concatenate
+    # this replaces spent ~17 us/key in field promotion alone
+    try:
+        from ..native import api as native
+
+        if native.available():
+            spec, keys, byte_starts, counts = native.mdb_scan(filepath)
+        else:
+            raise RuntimeError
+    except (RuntimeError, OSError):
+        spec, keys, byte_starts, counts = _scan_python(filepath)
+    nkeys = len(counts)
     # sort keys lexicographically (hash0 major, hash1 minor)
     order = np.lexsort((keys[:, 1], keys[:, 0]))
     keys = keys[order]
     counts = counts[order]
-    sigs = (
-        np.concatenate([blocks[i] for i in order])
-        if nkeys
-        else np.empty(0, dtype=SIG_DTYPE)
-    )
+    byte_starts = byte_starts[order]
     starts = np.zeros(nkeys, dtype=np.int64)
     if nkeys:
         np.cumsum(counts[:-1], out=starts[1:])
+        data = np.fromfile(filepath, dtype=np.uint8)
+        lens = 17 * counts
+        total = int(lens.sum())
+        out_off = np.cumsum(lens) - lens
+        idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_off, lens)
+            + np.repeat(byte_starts, lens)
+        )
+        sigs = np.frombuffer(data[idx].tobytes(), dtype=SIG_DTYPE)
+    else:
+        sigs = np.empty(0, dtype=SIG_DTYPE)
     return spec, keys, starts, counts, sigs
 
 

@@ -42,11 +42,24 @@ def pair_shmmrs_canonical(mers) -> List[Tuple[int, int, int, int, int]]:
 def raw_query_fragment(
     lookup, query_seq: bytes, spec: ShmmrSpec
 ) -> List[FragmentHit]:
-    """lookup: callable (hash0, hash1) -> list of FragmentSignature.
+    """lookup: callable (hash0, hash1) -> list of FragmentSignature,
+    optionally carrying a vectorized `.many(s0_arr, s1_arr)` variant
+    (api.py's columnar lookup does) — one batched searchsorted instead
+    of a numpy call pair per query key.
     (reference: seq_db.rs:1200-1228)"""
     mers = sketch_mod.sequence_to_shmmrs(0, query_seq, spec, False)
+    pairs = pair_shmmrs_canonical(mers)
+    many = getattr(lookup, "many", None)
+    if many is not None and pairs:
+        s0 = np.fromiter((p[0] for p in pairs), dtype=np.uint64, count=len(pairs))
+        s1 = np.fromiter((p[1] for p in pairs), dtype=np.uint64, count=len(pairs))
+        sig_lists = many(s0, s1)
+        return [
+            ((p[0], p[1]), (p[2], p[3], p[4]), sigs)
+            for p, sigs in zip(pairs, sig_lists)
+        ]
     out: List[FragmentHit] = []
-    for s0, s1, p0, p1, ori in pair_shmmrs_canonical(mers):
+    for s0, s1, p0, p1, ori in pairs:
         sigs = lookup(s0, s1)
         out.append(((s0, s1), (p0, p1, ori), sigs))
     return out
