@@ -38,10 +38,40 @@ BASELINE_BASES_PER_S = 143e6
 N_INDEX_KEYS = 4_194_304  # >=4M-key probe table for the query stage
 
 
+def _device_watchdog(seconds: int = 300):
+    """The tunneled TPU claim can hang forever if the remote relay died
+    mid-session (observed: PJRT init retries a dead endpoint in a sleep
+    loop).  Exit loudly instead of wedging the driver: the watchdog is
+    disarmed as soon as the device answers."""
+    import threading
+
+    armed = threading.Event()
+    armed.set()
+
+    def boom():
+        if armed.is_set():
+            sys.stderr.write(
+                "bench: device did not initialize within "
+                f"{seconds}s (dead tunnel?); aborting\n"
+            )
+            sys.stderr.flush()
+            os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return armed
+
+
 def main():
     import numpy as np
+
+    watchdog = _device_watchdog()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    watchdog.clear()
 
     from pgrtk_tpu.ops import pairs as pairs_ops
     from pgrtk_tpu.ops import probe as probe_ops
