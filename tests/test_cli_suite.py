@@ -200,3 +200,52 @@ def test_pgr_filter_cli(test_data_dir, capsys):
     out = capsys.readouterr().out
     n = sum(1 for l in out.splitlines() if l.startswith(">"))
     assert n >= 60  # same-locus reads pass the minimizer screen
+
+
+def test_sv_pipeline_localizes_planted_events(tmp_path):
+    """End-to-end SV check with known ground truth: a 0.2%-divergent
+    assembly with a planted 1.5kb deletion and a 1kb insertion must
+    yield SVC candidate records overlapping both events."""
+    import numpy as np
+
+    from pgrtk_tpu.cli import pgr_get_sv_candidate_regions as sv
+
+    rng = np.random.default_rng(12)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    L = 400_000
+    ref = rng.integers(0, 4, size=L, dtype=np.uint8)
+    (tmp_path / "ref.fa").write_bytes(
+        b">ref\n" + bases[ref].tobytes() + b"\n"
+    )
+    s = ref.copy()
+    m = rng.random(L) < 0.002
+    s[m] = (s[m] + rng.integers(1, 4, size=int(m.sum()))) % 4
+    DEL_AT, DEL_LEN, INS_AT, INS_LEN = 100_000, 1500, 300_000, 1000
+    s = np.concatenate([s[:DEL_AT], s[DEL_AT + DEL_LEN :]])
+    ins = rng.integers(0, 4, size=INS_LEN, dtype=np.uint8)
+    s = np.concatenate([s[: INS_AT - DEL_LEN], ins, s[INS_AT - DEL_LEN :]])
+    (tmp_path / "asm.fa").write_bytes(
+        b">asm\n" + bases[s].tobytes() + b"\n"
+    )
+
+    sv.main([
+        str(tmp_path / "ref.fa"), str(tmp_path / "asm.fa"),
+        str(tmp_path / "out"), "--number-of-thread", "1",
+    ])
+    svc = []
+    for line in open(tmp_path / "out.svcnd.bed"):
+        cols = line.split("\t")
+        if len(cols) >= 4 and cols[3].startswith("SVC:"):
+            svc.append((int(cols[1]), int(cols[2])))
+    assert svc, "no SV candidate regions emitted"
+
+    def covered(pos):
+        return any(b <= pos <= e for b, e in svc)
+
+    assert covered(DEL_AT), f"deletion at {DEL_AT} not in {svc}"
+    assert covered(INS_AT), f"insertion at {INS_AT} not in {svc}"
+    # SNVs from the 0.2% divergence must be called as variants
+    n_var = sum(
+        1 for line in open(tmp_path / "out.vcf") if not line.startswith("#")
+    )
+    assert n_var > 200
