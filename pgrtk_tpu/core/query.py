@@ -47,19 +47,32 @@ def raw_query_fragment(
     (api.py's columnar lookup does) — one batched searchsorted instead
     of a numpy call pair per query key.
     (reference: seq_db.rs:1200-1228)"""
-    mers = sketch_mod.sequence_to_shmmrs(0, query_seq, spec, False)
-    pairs = pair_shmmrs_canonical(mers)
     many = getattr(lookup, "many", None)
-    if many is not None and pairs:
-        s0 = np.fromiter((p[0] for p in pairs), dtype=np.uint64, count=len(pairs))
-        s1 = np.fromiter((p[1] for p in pairs), dtype=np.uint64, count=len(pairs))
-        sig_lists = many(s0, s1)
-        return [
-            ((p[0], p[1]), (p[2], p[3], p[4]), sigs)
-            for p, sigs in zip(pairs, sig_lists)
-        ]
+    if many is not None:
+        # vectorized: mer arrays -> canonical pair key arrays -> ONE
+        # batched lookup.  Query tie-break is strict `<` (ties ->
+        # orientation 1, reference seq_db.rs:1213) vs the builder's `<=`
+        mx, my = sketch_mod.sequence_to_shmmrs_arrays(0, query_seq, spec, False)
+        if len(mx) < 2:
+            return []
+        h = mx >> np.uint64(8)
+        p = ((my & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64) + 1
+        s0, s1 = h[:-1], h[1:]
+        swap = s0 >= s1
+        k0 = np.where(swap, s1, s0)
+        k1 = np.where(swap, s0, s1)
+        sig_lists = many(k0, k1)
+        return list(
+            zip(
+                zip(k0.tolist(), k1.tolist()),
+                zip(p[:-1].tolist(), p[1:].tolist(),
+                    swap.astype(np.int64).tolist()),
+                sig_lists,
+            )
+        )
+    mers = sketch_mod.sequence_to_shmmrs(0, query_seq, spec, False)
     out: List[FragmentHit] = []
-    for s0, s1, p0, p1, ori in pairs:
+    for s0, s1, p0, p1, ori in pair_shmmrs_canonical(mers):
         sigs = lookup(s0, s1)
         out.append(((s0, s1), (p0, p1, ori), sigs))
     return out

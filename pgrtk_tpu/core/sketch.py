@@ -123,3 +123,20 @@ def batch_sequence_to_shmmrs_arrays(
             for rid, s in seqs
         )
     ]
+
+
+def sequence_to_shmmrs_arrays(
+    rid: int, seq: bytes, spec: ShmmrSpec, padding: bool = False
+):
+    """sequence_to_shmmrs returning (x, y) uint64 numpy arrays (skips
+    the Python tuple materialization)."""
+    import numpy as np
+
+    nat = _native()
+    if nat is not None:
+        return nat.sequence_to_shmmrs_arrays(rid, seq, spec, padding)
+    ms = sketch_ref.sequence_to_shmmrs(rid, seq, spec, padding)
+    return (
+        np.asarray([m[0] for m in ms], dtype=np.uint64),
+        np.asarray([m[1] for m in ms], dtype=np.uint64),
+    )
