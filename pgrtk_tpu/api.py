@@ -170,12 +170,12 @@ class SeqIndexDB:
         starts = db.index_starts
         counts = db.index_counts
         sigs = db.index_sigs
-        # combined (k0, k1) key as a complex128 VIEW: 56-bit hashes stay
-        # below the f64 NaN/sign patterns, so complex lexicographic order
-        # == integer lexicographic order and ONE searchsorted replaces
-        # the three-step per-key binary search (same trick as
-        # graph/bundles.py::_intern_pairs)
-        ckeys = np.ascontiguousarray(keys).view(np.complex128).reshape(-1)
+        from .utils.u64pair import cols_ckeys, pair_ckeys
+
+        # ONE searchsorted over combined lexicographic keys replaces the
+        # three-step per-key binary search (ordering trick documented in
+        # utils/u64pair.py)
+        ckeys = pair_ckeys(keys)
         n_keys = len(ckeys)
 
         def _block(j):
@@ -183,10 +183,10 @@ class SeqIndexDB:
             return sigs[s : s + c].tolist()
 
         def lookup(s0, s1):
-            q = np.empty(2, dtype=np.uint64)
-            q[0] = s0
-            q[1] = s1
-            cq = q.view(np.complex128)[0]
+            q = np.empty((1, 2), dtype=np.uint64)
+            q[0, 0] = s0
+            q[0, 1] = s1
+            cq = pair_ckeys(q)[0]
             j = int(np.searchsorted(ckeys, cq, side="left"))
             if j >= n_keys or ckeys[j] != cq:
                 return []
@@ -196,10 +196,7 @@ class SeqIndexDB:
             """Vectorized lookup of n (hash0, hash1) keys at once:
             returns a list of n signature lists."""
             n = len(s0_arr)
-            q = np.empty((n, 2), dtype=np.uint64)
-            q[:, 0] = s0_arr
-            q[:, 1] = s1_arr
-            cq = q.view(np.complex128).reshape(-1)
+            cq = cols_ckeys(s0_arr, s1_arr)
             js = np.searchsorted(ckeys, cq, side="left")
             js_c = np.minimum(js, n_keys - 1) if n_keys else js
             found = (

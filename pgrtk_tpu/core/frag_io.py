@@ -212,18 +212,34 @@ def write_frag_files(db, prefix: str, chunk_size: int = 256) -> None:
         return comp.compress(bincodec.write_fragments(chunk)) + comp.flush()
 
     # deflate dominates the write (~97% measured) and releases the GIL:
-    # compress chunks on a thread pool, write in order (the reference
-    # rayon-parallelizes the same loop, seq_db.rs:814-874)
+    # compress chunks on a thread pool with a bounded in-flight window
+    # (memory stays O(window), not O(file)) and write in order (the
+    # reference rayon-parallelizes the same loop, seq_db.rs:814-874)
+    import os as _os
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor() as ex:
-        blobs = list(ex.map(_deflate, chunks))
     addrs = []
     offset = 0
-    with open(prefix + ".frg", "wb") as f:
+    window = 4 * max(1, _os.cpu_count() or 1)
+    with ThreadPoolExecutor() as ex, open(prefix + ".frg", "wb") as f:
         f.write(FRG_MAGIC)
-        for chunk, blob in zip(chunks, blobs):
-            total_bases = sum(_frag_base_len(fr, k) for fr in chunk)
+        pending = deque()
+        it = iter(chunks)
+        for chunk in it:
+            pending.append((chunk, ex.submit(_deflate, chunk)))
+            if len(pending) < window:
+                continue
+            chunk0, fut = pending.popleft()
+            blob = fut.result()
+            total_bases = sum(_frag_base_len(fr, k) for fr in chunk0)
+            addrs.append((offset, len(blob), total_bases))
+            offset += len(blob)
+            f.write(blob)
+        while pending:
+            chunk0, fut = pending.popleft()
+            blob = fut.result()
+            total_bases = sum(_frag_base_len(fr, k) for fr in chunk0)
             addrs.append((offset, len(blob), total_bases))
             offset += len(blob)
             f.write(blob)

@@ -82,19 +82,11 @@ def read_mdb(filepath: str) -> Tuple[ShmmrSpec, ShmmrToFrags]:
     return spec, frag_map
 
 
-def read_mdb_columnar(filepath: str):
-    """Parse into flat sorted columnar arrays for device-side lookup.
 
-    Returns (spec, keys, starts, counts, sigs) where
-      keys   : (n_keys, 2) uint64, sorted lexicographically
-      starts : (n_keys,) int64  — offset of each key's block in sigs
-      counts : (n_keys,) int64
-      sigs   : structured array (SIG_DTYPE) of all signatures, grouped by key
-    """
-    # offsets-only scan (native C++ when built, mmap walk otherwise),
-    # then ONE ragged byte gather assembles the key-sorted signature
-    # column — the per-key frombuffer + 150k-way structured concatenate
-    # this replaces spent ~17 us/key in field promotion alone
+def _scan_sorted(filepath: str):
+    """Offsets-only scan (native C++ when built, mmap walk otherwise) +
+    lexicographic key sort.  Shared preamble of the columnar and lazy
+    readers."""
     try:
         from ..native import api as native
 
@@ -104,12 +96,25 @@ def read_mdb_columnar(filepath: str):
             raise RuntimeError
     except (RuntimeError, OSError):
         spec, keys, byte_starts, counts = _scan_python(filepath)
-    nkeys = len(counts)
-    # sort keys lexicographically (hash0 major, hash1 minor)
     order = np.lexsort((keys[:, 1], keys[:, 0]))
-    keys = keys[order]
-    counts = counts[order]
-    byte_starts = byte_starts[order]
+    return spec, keys[order], byte_starts[order], counts[order]
+
+
+def read_mdb_columnar(filepath: str):
+    """Parse into flat sorted columnar arrays for device-side lookup.
+
+    Returns (spec, keys, starts, counts, sigs) where
+      keys   : (n_keys, 2) uint64, sorted lexicographically
+      starts : (n_keys,) int64  — offset of each key's block in sigs
+      counts : (n_keys,) int64
+      sigs   : structured array (SIG_DTYPE) of all signatures, grouped by key
+    """
+    # offsets-only scan, then ONE ragged byte gather assembles the
+    # key-sorted signature column — the per-key frombuffer + 150k-way
+    # structured concatenate this replaces spent ~17 us/key in field
+    # promotion alone
+    spec, keys, byte_starts, counts = _scan_sorted(filepath)
+    nkeys = len(counts)
     starts = np.zeros(nkeys, dtype=np.int64)
     if nkeys:
         np.cumsum(counts[:-1], out=starts[1:])
@@ -117,11 +122,11 @@ def read_mdb_columnar(filepath: str):
         lens = 17 * counts
         total = int(lens.sum())
         out_off = np.cumsum(lens) - lens
-        idx = (
-            np.arange(total, dtype=np.int64)
-            - np.repeat(out_off, lens)
-            + np.repeat(byte_starts, lens)
-        )
+        # fused index build: two total-length temporaries (arange + the
+        # repeated per-key delta), not four — the gather transient is
+        # the columnar path's memory peak
+        idx = np.arange(total, dtype=np.int64)
+        idx += np.repeat(byte_starts - out_off, lens)
         sigs = np.frombuffer(data[idx].tobytes(), dtype=SIG_DTYPE)
     else:
         sigs = np.empty(0, dtype=SIG_DTYPE)
@@ -206,19 +211,7 @@ def read_mdb_lazy(filepath: str):
     row offsets — but `sigs` is a LazySigs view over the mmap'd file,
     so only key metadata (32 B/key) is resident; posting blocks page in
     on demand (reference: seq_db.rs:1409-1504)."""
-    try:
-        from ..native import api as native
-
-        if native.available():
-            spec, keys, byte_starts, counts = native.mdb_scan(filepath)
-        else:
-            raise RuntimeError
-    except (RuntimeError, OSError):
-        spec, keys, byte_starts, counts = _scan_python(filepath)
-    order = np.lexsort((keys[:, 1], keys[:, 0]))
-    keys = keys[order]
-    byte_starts = byte_starts[order]
-    counts = counts[order]
+    spec, keys, byte_starts, counts = _scan_sorted(filepath)
     row_starts = np.zeros(len(counts), dtype=np.int64)
     if len(counts):
         np.cumsum(counts[:-1], out=row_starts[1:])

@@ -45,11 +45,6 @@ class CompactSeqDB:
     # fragments as (kind, bytes); INTERNAL bases include the leading k overlap
     frags: List[Tuple[int, bytes]] = field(default_factory=list)
 
-    def _sketcher(self):
-        from .sketch import sequence_to_shmmrs  # late import: backend dispatch
-
-        return sequence_to_shmmrs
-
     def load_seqs(
         self, records: Sequence[Tuple[Optional[str], str, bytes]], store_frags: bool = True
     ) -> None:
@@ -128,14 +123,11 @@ class CompactSeqDB:
         swap = s0 > s1
         k0 = np.where(swap, s1, s0)
         k1 = np.where(swap, s0, s1)
-        # stable lexicographic sort via a complex128 view: 56-bit hashes
-        # stay below the f64 NaN/sign patterns, so complex order ==
-        # integer order (same trick as graph/bundles.py::_intern_pairs)
-        pair = np.empty((len(k0), 2), dtype=np.uint64)
-        pair[:, 0] = k0
-        pair[:, 1] = k1
-        cview = pair.view(np.complex128).reshape(-1)
-        order = np.argsort(cview, kind="stable")
+        from ..utils.u64pair import cols_ckeys
+
+        # stable lexicographic key sort (ordering trick documented in
+        # utils/u64pair.py)
+        order = np.argsort(cols_ckeys(k0, k1), kind="stable")
         k0l = k0[order].tolist()
         k1l = k1[order].tolist()
         rows = list(

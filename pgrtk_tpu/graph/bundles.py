@@ -213,16 +213,14 @@ def _intern_pairs(all_pairs, src_ori, dst_ori) -> "_InternedEdges":
     """Intern a stacked (2E, 2) u64 pair array (E src rows then E dst
     rows) plus per-edge orientations into node ids.
 
-    Unique rows via a complex128 VIEW: for u64 values below 0x7FF0...
-    (true for 56-bit shimmer hashes) the f64 bit pattern is non-negative
-    and never NaN, so complex lexicographic order == integer
-    lexicographic order — and np.unique on 1-D complex is ~8x faster
-    than axis=0 row unique."""
+    Unique rows via the shared complex128-view lexicographic keys
+    (utils/u64pair.py): np.unique on 1-D complex is ~8x faster than
+    axis=0 row unique."""
     import numpy as np
 
-    assert int(all_pairs.max(initial=0)) < 0x7FF0000000000000
-    cview = np.ascontiguousarray(all_pairs).view(np.complex128).reshape(-1)
-    ucx, inv = np.unique(cview, return_inverse=True)
+    from ..utils.u64pair import pair_ckeys
+
+    ucx, inv = np.unique(pair_ckeys(all_pairs), return_inverse=True)
     it = _InternedEdges()
     it.uniq = ucx.view(np.uint64).reshape(-1, 2)
     it.ul = it.uniq.tolist()  # python ints iterate ~10x faster than rows
