@@ -129,3 +129,54 @@ def test_device_batch_query_matches_host(test_data_dir):
     for seq, dev in zip(seqs, got):
         host = db.query_fragment_to_hps(seq, 0.025)
         assert dev == host
+
+
+def test_vectorized_query_pairs_match_scalar_path_with_ties(monkeypatch):
+    """raw_query_fragment's vectorized branch (lookup.many) must produce
+    the same FragmentHit stream as the scalar branch, including the
+    strict-< tie rule (equal adjacent hashes -> orientation 1)."""
+    import numpy as np
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core import sketch as sketch_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+
+    rng = np.random.RandomState(3)
+    n = 64
+    x = (rng.randint(0, 1 << 40, n).astype(np.uint64) << np.uint64(8)) | np.uint64(56)
+    x[10] = x[11]  # adjacent equal hashes: tie
+    x[30] = x[31] = x[32]  # run of ties
+    pos = np.sort(rng.choice(100000, n, replace=False)).astype(np.uint64)
+    y = pos << np.uint64(1)
+
+    monkeypatch.setattr(
+        sketch_mod, "sequence_to_shmmrs_arrays", lambda *a, **k: (x, y)
+    )
+    monkeypatch.setattr(
+        sketch_mod,
+        "sequence_to_shmmrs",
+        lambda *a, **k: list(zip(x.tolist(), y.tolist())),
+    )
+
+    calls = {}
+
+    def scalar_lookup(s0, s1):
+        calls.setdefault("scalar", 0)
+        calls["scalar"] += 1
+        return [(1, 2, 3, 4, 0)] if (s0 + s1) % 3 == 0 else []
+
+    def many(s0_arr, s1_arr):
+        return [scalar_lookup(int(a), int(b)) for a, b in zip(s0_arr, s1_arr)]
+
+    spec = ShmmrSpec(sketch=True)
+    scalar_out = query_mod.raw_query_fragment(scalar_lookup, b"ACGT", spec)
+
+    vec_lookup = lambda s0, s1: scalar_lookup(s0, s1)  # noqa: E731
+    vec_lookup.many = many
+    vec_out = query_mod.raw_query_fragment(vec_lookup, b"ACGT", spec)
+
+    assert vec_out == scalar_out
+    # the tie pairs must carry orientation 1 with unswapped keys
+    ties = [h for h in scalar_out if h[0][0] == h[0][1]]
+    assert len(ties) == 3
+    assert all(h[1][2] == 1 for h in ties)
