@@ -10,7 +10,6 @@ semantics); cross-device reductions ride ICI collectives:
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
