@@ -108,3 +108,38 @@ def test_batch_wfa_align_chunk_boundaries():
     for (t, q), res in zip(pairs, got):
         exp = wfa_align_bases(t.decode(), q.decode(), 384, 3, 3, 1)
         assert res == exp
+
+
+def test_u64pair_ordering_and_guards():
+    """The complex128-view ordering must equal integer lexicographic
+    order across the 56-bit range, and the guard must reject values in
+    the f64 NaN/sign pattern range."""
+    from pgrtk_tpu.utils.u64pair import cols_ckeys, pair_ckeys
+
+    rng = np.random.RandomState(0)
+    n = 4096
+    pairs = rng.randint(0, 1 << 56, size=(n, 2)).astype(np.uint64)
+    # force duplicates and boundary values
+    pairs[0] = (0, 0)
+    pairs[1] = ((1 << 56) - 1, (1 << 56) - 1)
+    pairs[2] = pairs[3]
+    ck = pair_ckeys(pairs)
+    order_c = np.argsort(ck, kind="stable")
+    order_l = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    assert np.array_equal(
+        pairs[order_c], pairs[order_l]
+    ), "complex order != lexicographic order"
+
+    # column variant agrees with the row variant
+    ck2 = cols_ckeys(pairs[:, 0], pairs[:, 1])
+    assert np.array_equal(ck, ck2)
+
+    # non-contiguous input still works (helper copies)
+    ck3 = pair_ckeys(np.ascontiguousarray(pairs[::2]))
+    assert np.array_equal(ck3, ck[::2])
+
+    # guard fires for values at/above the f64 special-pattern floor
+    bad = pairs.copy()
+    bad[5, 0] = np.uint64(0x7FF0000000000001)
+    with pytest.raises(AssertionError):
+        pair_ckeys(bad)
