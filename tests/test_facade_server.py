@@ -103,3 +103,36 @@ def test_server_roundtrip(test_data_dir):
         assert res["query"]["ctg"] == name
     finally:
         srv.shutdown()
+
+
+def test_append_from_fastx_multi_file_build(test_data_dir, tmp_path):
+    """pgr-make-frgdb semantics: a two-file build appends sequences with
+    continuing sids and per-file sources, and queries hit both files'
+    sequences (reference: ext.rs:183-199)."""
+    import pgrtk_tpu
+    from pgrtk_tpu.core.fasta import read_fastx_all
+
+    recs = read_fastx_all(os.path.join(test_data_dir, "test_seqs.fa"))
+    fa1, fa2 = tmp_path / "a.fa", tmp_path / "b.fa"
+    with open(fa1, "w") as f:
+        for r in recs[:5]:
+            f.write(f">{r.id.decode()}\n{r.seq.decode()}\n")
+    with open(fa2, "w") as f:
+        for r in recs[5:10]:
+            f.write(f">{r.id.decode()}\n{r.seq.decode()}\n")
+
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_fastx(str(fa1))
+    db.append_from_fastx(str(fa2))
+    assert len(db.seq_info) == 10
+    # sids continue across files; sources name each file
+    assert sorted(db.seq_info) == list(range(10))
+    srcs = {info[1] for info in db.seq_info.values()}
+    assert srcs == {str(fa1), str(fa2)}
+    # a sequence from the SECOND file is queryable and self-hits
+    q = recs[7].seq
+    hits = db.query_fragment_to_hps(q, 0.025, None, None, None, 8, None, False)
+    assert any(t_idx == 7 for t_idx, _segs in hits)
+    # reconstruction across the append boundary
+    assert db.get_seq_by_id(0) == recs[0].seq
+    assert db.get_seq_by_id(9) == recs[9].seq
