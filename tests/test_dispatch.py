@@ -14,6 +14,7 @@ def test_use_device_forced_modes(monkeypatch):
 
 
 def test_use_device_threshold_and_accelerator(monkeypatch):
+    monkeypatch.delenv("PGRTK_DEVICE_MIN_BASES", raising=False)
     monkeypatch.setattr(dispatch, "_accel", True)
     assert dispatch.use_device(dispatch.DEFAULT_MIN_BASES)
     assert not dispatch.use_device(dispatch.DEFAULT_MIN_BASES - 1)
