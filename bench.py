@@ -10,7 +10,10 @@ device->host transfers go over the network):
          canonical pair construction -> sorted pair table
   query: batched sketch -> compaction -> min_span -> canonical pairs ->
          bucketed probe of every pair against a >=4M-key index table
-         (ops/probe.py — one aligned row fetch + vector compare per key)
+         (ops/probe.py) -> postings-row expansion (count-clipped
+         signature gather) -> count filter -> batched anchor-chain DP
+         (ops/chain.py fast scan kernel) — the full query path of the
+         reference's aln.rs:147-242, not just probe membership
 
 Headline metric (driver BASELINE.json: "Mseq-bases/s SHIMMER index+query
 per chip"): total bases pushed through BOTH stages / total time.
@@ -19,11 +22,21 @@ in 30-40 min on a CPU server (reference: pgr-tk/src/lib.rs:40-42) —
 ~143 Mbases/s for the INDEX stage alone; its query stage is not faster
 per base, so vs_baseline = ours_combined / 143e6 is conservative.
 
+Resilience: the remote TPU relay dies unpredictably (round 2 lost its
+driver-captured number to a dead tunnel).  This file is therefore a
+COORDINATOR that runs the actual benchmark in a worker subprocess with a
+device-init watchdog, retries on failure with backoff, accumulates
+per-stage partial results across attempts, and ALWAYS prints one final
+JSON line — with whatever stages completed — so a mid-run relay death
+still yields data.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
-import sys
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -36,9 +49,13 @@ os.environ.setdefault(
 
 BASELINE_BASES_PER_S = 143e6
 N_INDEX_KEYS = 4_194_304  # >=4M-key probe table for the query stage
+ATTEMPTS = 4
+BACKOFF_S = (15, 45, 90)  # sleep before retry 2, 3, 4
+INIT_WATCHDOG_S = 300     # device must answer within this per attempt
+STAGE_WATCHDOG_S = 1500   # whole worker run bound (compiles can be minutes)
 
 
-def _device_watchdog(seconds: int = 300):
+def _device_watchdog(seconds: int, what: str = "initialize"):
     """The tunneled TPU claim can hang forever if the remote relay died
     mid-session (observed: PJRT init retries a dead endpoint in a sleep
     loop).  Exit loudly instead of wedging the driver: the watchdog is
@@ -51,7 +68,7 @@ def _device_watchdog(seconds: int = 300):
     def boom():
         if armed.is_set():
             sys.stderr.write(
-                "bench: device did not initialize within "
+                f"bench: device did not {what} within "
                 f"{seconds}s (dead tunnel?); aborting\n"
             )
             sys.stderr.flush()
@@ -63,15 +80,27 @@ def _device_watchdog(seconds: int = 300):
     return armed
 
 
-def main():
+def _emit(out_path, record):
+    """Append one progress record; flush+fsync so the coordinator sees it
+    even if the worker dies on the next line."""
+    with open(out_path, "a") as f:
+        f.write(json.dumps(record) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+
+
+def worker(out_path: str):
     import numpy as np
 
-    watchdog = _device_watchdog()
+    watchdog = _device_watchdog(INIT_WATCHDOG_S)
     import jax
     import jax.numpy as jnp
 
     jax.devices()  # force backend init under the watchdog
     watchdog.clear()
+    _emit(out_path, {"stage": "init", "ok": True})
+    # whole-run bound: a relay death mid-compile otherwise wedges forever
+    run_watchdog = _device_watchdog(STAGE_WATCHDOG_S, what="finish")
 
     from pgrtk_tpu.ops import pairs as pairs_ops
     from pgrtk_tpu.ops import probe as probe_ops
@@ -152,23 +181,99 @@ def main():
         return B * L / dt
 
     index_bps = timed_chain(index_once)
+    _emit(out_path, {"stage": "index", "mbases_s": round(index_bps / 1e6, 1)})
     query_bps = timed_chain(query_once)
-    combined = 2 * B * L / (B * L / index_bps + B * L / query_bps)
+    _emit(out_path, {"stage": "query", "mbases_s": round(query_bps / 1e6, 1)})
+    run_watchdog.clear()
+    _emit(out_path, {"stage": "done", "ok": True})
 
-    print(
-        json.dumps(
-            {
-                "metric": "shimmer_index_query_throughput",
-                "value": round(combined / 1e6, 1),
-                "unit": "Mbases/s/chip",
-                "vs_baseline": round(combined / BASELINE_BASES_PER_S, 2),
-                "index_mbases_s": round(index_bps / 1e6, 1),
-                "query_mbases_s": round(query_bps / 1e6, 1),
-                "query_index_keys": N_INDEX_KEYS,
-            }
+
+def _combine(stages):
+    """Final JSON from whatever stages completed (possibly across
+    attempts).  Full data -> harmonic-mean combined metric; partial data
+    -> report the stage that finished with a `partial` marker."""
+    idx = stages.get("index", {}).get("mbases_s")
+    qry = stages.get("query", {}).get("mbases_s")
+    rec = {
+        "metric": "shimmer_index_query_throughput",
+        "unit": "Mbases/s/chip",
+        "query_index_keys": N_INDEX_KEYS,
+    }
+    if idx and qry:
+        combined = 2.0 / (1.0 / idx + 1.0 / qry)
+        rec["value"] = round(combined, 1)
+        rec["vs_baseline"] = round(combined * 1e6 / BASELINE_BASES_PER_S, 2)
+        rec["index_mbases_s"] = idx
+        rec["query_mbases_s"] = qry
+    elif idx or qry:
+        v = idx or qry
+        rec["value"] = round(v, 1)
+        rec["vs_baseline"] = round(v * 1e6 / BASELINE_BASES_PER_S, 2)
+        rec["partial"] = "index" if idx else "query"
+        if idx:
+            rec["index_mbases_s"] = idx
+        if qry:
+            rec["query_mbases_s"] = qry
+    else:
+        rec["value"] = 0.0
+        rec["vs_baseline"] = 0.0
+        rec["error"] = "no stage completed (dead TPU tunnel?)"
+    return rec
+
+
+def coordinate():
+    """Run the worker in a subprocess with retries; always print one JSON
+    line at the end.  The coordinator itself never imports jax (a second
+    process claiming the TPU session deadlocks the tunnel)."""
+    stages = {}
+    attempts_used = 0
+    for attempt in range(ATTEMPTS):
+        attempts_used = attempt + 1
+        fd, out_path = tempfile.mkstemp(prefix="bench_stage_", suffix=".jsonl")
+        os.close(fd)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", out_path],
+                timeout=INIT_WATCHDOG_S + STAGE_WATCHDOG_S + 120,
+            )
+            rc = proc.returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+            sys.stderr.write("bench: worker hit coordinator timeout\n")
+        try:
+            with open(out_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    stages[rec.get("stage", "?")] = rec
+        except OSError:
+            pass
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+        if rc == 0 and "done" in stages:
+            break
+        sys.stderr.write(
+            f"bench: attempt {attempt + 1}/{ATTEMPTS} failed (rc={rc}, "
+            f"stages so far: {sorted(stages)})\n"
         )
-    )
+        if "index" in stages and "query" in stages:
+            break  # both numbers exist; no point retrying
+        if attempt + 1 < ATTEMPTS:
+            time.sleep(BACKOFF_S[min(attempt, len(BACKOFF_S) - 1)])
+    rec = _combine(stages)
+    rec["attempts"] = attempts_used
+    print(json.dumps(rec))
+    # exit 0 whenever we produced a number; the JSON carries error details
+    sys.exit(0 if rec["value"] > 0 else 3)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+    else:
+        coordinate()
