@@ -42,6 +42,7 @@ mirror the reference's value-keyed maps.
 from __future__ import annotations
 
 import functools
+import os
 import struct
 
 import jax
@@ -246,6 +247,169 @@ def chain_scores_dense(
     jax.jit,
     static_argnames=("lookback", "oriented", "max_gap", "penalty", "max_span"),
 )
+def chain_scores_fast(
+    anchors: jnp.ndarray,
+    valid: jnp.ndarray,
+    penalty: float,
+    max_gap: int = -1,
+    oriented: bool = False,
+    lookback: int = 32,
+    max_span: int = 8,
+):
+    """O(W)-per-step variant of chain_scores_dense for the common case of
+    DISTINCT window lefts.
+
+    chain_scores_dense spends O(W^2) per scan step on the pairwise
+    distinct-left masks that implement the reference's value-keyed span
+    break (aln.rs:29-56).  When no two window slots share a left
+    coordinate — true for every anchor group without repeated query
+    pairs, i.e. almost all of them — the distinct-left count equals the
+    plain count of unfiltered slots, and the break reduces to "score the
+    max_span most recent unfiltered predecessors": an exclusive cumsum
+    over the window in recency order.
+
+    This kernel keeps the window RECENCY-ORDERED (slot 0 = most recent;
+    insertion is a static shift, not a ring write), computes the break
+    with a log2(W) doubling cumsum, and raises a sticky per-group `dup`
+    flag the moment an inserted anchor's left coordinate matches any
+    occupied window slot (the O(W) same-left filter already computes
+    exactly that comparison).  Flagged groups must be re-run on
+    chain_scores_dense (exact under duplicates); un-flagged groups are
+    bit-identical to it — same f32 op order, same FMA blocking, same
+    nearest-wins tie-break, same window-eviction `inexact` condition.
+
+    Returns (scores (G, N) f32, best_prev (G, N) i32, dup (G,) bool,
+    inexact (G,) bool).  `inexact` means window eviction (host fallback);
+    `dup` means rerun on the dense kernel.
+    """
+    G, N, _ = anchors.shape
+    ai = anchors.astype(jnp.int32)
+    af = anchors.astype(jnp.float32)
+    q_bgn_f, q_end_f = af[..., 0], af[..., 1]
+    self_score = q_end_f - q_bgn_f
+    rel_ori = (ai[..., 2] ^ ai[..., 5]).astype(jnp.int32)
+    same_ori = ai[..., 2] == ai[..., 5]
+
+    W = lookback
+
+    def wfull(v, dtype=jnp.float32):
+        # (W, G): W on sublanes so the per-step shift is a static axis-0
+        # slice and G rides the 128-wide lane axis
+        return jnp.full((W, G), v, dtype=dtype)
+
+    init = dict(
+        occ=jnp.zeros((W, G), dtype=jnp.bool_),
+        f_qe=wfull(0.0), f_tb=wfull(0.0), f_te=wfull(0.0),
+        i_qb=wfull(-1, jnp.int32), i_qe=wfull(-1, jnp.int32),
+        i_qo=wfull(-1, jnp.int32),
+        w_rel=wfull(0, jnp.int32),
+        w_score=wfull(NEG),
+        dup=jnp.zeros((G,), dtype=jnp.bool_),
+        inexact=jnp.zeros((G,), dtype=jnp.bool_),
+    )
+
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (W, G), 0)
+
+    xs = dict(
+        i=jnp.arange(N, dtype=jnp.int32),
+        f_qb=q_bgn_f.T, f_qe=q_end_f.T, f_tb=af[..., 3].T, f_te=af[..., 4].T,
+        i_qb=ai[..., 0].T, i_qe=ai[..., 1].T, i_qo=ai[..., 2].T,
+        rel=rel_ori.T, so=same_ori.T,
+        self_score=self_score.T,
+        is_valid=valid.T,
+    )
+
+    def step(carry, x):
+        i = x["i"]
+        occ = carry["occ"]  # (W, G); slot d holds anchor i-1-d if occupied
+
+        gap_q = jnp.abs(x["f_qb"][None, :] - carry["f_qe"])
+        gap_t_same = jnp.abs(x["f_tb"][None, :] - carry["f_te"])
+        gap_t_diff = jnp.abs(x["f_te"][None, :] - carry["f_tb"])
+        gap_t = jnp.where(x["so"][None, :], gap_t_same, gap_t_diff)
+
+        unfiltered = occ
+        if oriented:
+            unfiltered = unfiltered & (carry["w_rel"] == x["rel"][None, :])
+        if max_gap >= 0:
+            mg = jnp.float32(max_gap)
+            unfiltered = unfiltered & (gap_q <= mg) & (gap_t <= mg)
+        same_left_cur = (
+            (carry["i_qb"] == x["i_qb"][None, :])
+            & (carry["i_qe"] == x["i_qe"][None, :])
+            & (carry["i_qo"] == x["i_qo"][None, :])
+        )
+        unfiltered = unfiltered & ~same_left_cur
+
+        # distinct-left break, assuming distinct window lefts: exclusive
+        # cumsum of unfiltered in recency order (= slot order)
+        cnt = unfiltered.astype(jnp.int32)
+        sh = 1
+        while sh < W:
+            cnt = cnt + jnp.concatenate(
+                [jnp.zeros((sh, G), jnp.int32), cnt[:-sh]], axis=0
+            )
+            sh *= 2
+        excl = cnt - unfiltered.astype(jnp.int32)
+        scored = unfiltered & (excl < max_span)
+
+        total_unf = cnt[-1]  # inclusive cumsum at the last slot
+        inexact = carry["inexact"] | (
+            x["is_valid"] & (i > W) & (total_unf < max_span)
+        )
+        # a same-left pair co-resident in the window breaks the
+        # distinct==count identity -> dense rerun
+        dup = carry["dup"] | (
+            x["is_valid"] & jnp.any(same_left_cur & occ, axis=0)
+        )
+
+        # score (identical f32 op order / FMA blocking to the dense kernel)
+        span_cur = x["self_score"][None, :]
+        s1 = carry["w_score"] + span_cur
+        gap = gap_q + gap_t
+        gp = jnp.abs(jnp.float32(penalty) * gap)
+        if penalty < 0:
+            gp = -gp
+        cand = s1 - gp
+        cand = jnp.where(scored, cand, NEG)
+        best = cand.max(axis=0)
+        at_best = scored & (cand == best[None, :])
+        # nearest wins ties: smallest recency d among at_best
+        d_min = jnp.min(jnp.where(at_best, d_iota, W), axis=0)
+        best_prev_idx = jnp.where(d_min < W, i - 1 - d_min, -1)
+
+        use_prev = best > 0.0
+        score_i = jnp.where(use_prev, best, x["self_score"])
+        prev_i = jnp.where(use_prev, best_prev_idx, -1)
+        is_valid = x["is_valid"]
+        score_i = jnp.where(is_valid, score_i, NEG)
+
+        def push(plane, v):
+            return jnp.concatenate([v[None, :], plane[:-1]], axis=0)
+
+        carry = dict(
+            occ=push(occ, is_valid),
+            f_qe=push(carry["f_qe"], x["f_qe"]),
+            f_tb=push(carry["f_tb"], x["f_tb"]),
+            f_te=push(carry["f_te"], x["f_te"]),
+            i_qb=push(carry["i_qb"], x["i_qb"]),
+            i_qe=push(carry["i_qe"], x["i_qe"]),
+            i_qo=push(carry["i_qo"], x["i_qo"]),
+            w_rel=push(carry["w_rel"], x["rel"]),
+            w_score=push(carry["w_score"], score_i),
+            dup=dup,
+            inexact=inexact,
+        )
+        return carry, (score_i, prev_i)
+
+    final, (scores_t, prev_t) = jax.lax.scan(step, init, xs, unroll=4)
+    return scores_t.T, prev_t.T, final["dup"], final["inexact"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lookback", "oriented", "max_gap", "penalty", "max_span"),
+)
 def _chain_scores_packed(
     anchors, valid, penalty, max_gap=-1, oriented=False,
     lookback=32, max_span=8,
@@ -262,6 +426,31 @@ def _chain_scores_packed(
         [
             jax.lax.bitcast_convert_type(scores, jnp.int32),
             prev.astype(jnp.int32),
+            inexact.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lookback", "oriented", "max_gap", "penalty", "max_span"),
+)
+def _fast_scores_packed(
+    anchors, valid, penalty, max_gap=-1, oriented=False,
+    lookback=32, max_span=8,
+):
+    """chain_scores_fast packed into ONE i32 plane (G, 2N+2):
+    [scores bitcast | prev | dup | inexact]."""
+    scores, prev, dup, inexact = chain_scores_fast(
+        anchors, valid, penalty, max_gap, oriented,
+        lookback=lookback, max_span=max_span,
+    )
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(scores, jnp.int32),
+            prev.astype(jnp.int32),
+            dup.astype(jnp.int32)[:, None],
             inexact.astype(jnp.int32)[:, None],
         ],
         axis=1,
@@ -415,23 +604,60 @@ def chain_groups(
         if pad_g > 0:
             anchors = np.pad(anchors, ((0, pad_g), (0, 0), (0, 0)))
             valid = np.pad(valid, ((0, pad_g), (0, 0)))
-        packed = np.asarray(
-            _chain_scores_packed(
-                jnp.asarray(anchors),
-                jnp.asarray(valid),
-                penalty,
-                mg,
-                oriented,
-                lookback=lookback,
-                max_span=max_span,
-            )
-        )[: len(gids)]  # ONE device->host transfer
+        use_dense = os.environ.get("PGRTK_CHAIN_KERNEL", "fast") == "dense"
+        if use_dense:
+            packed = np.asarray(
+                _chain_scores_packed(
+                    jnp.asarray(anchors),
+                    jnp.asarray(valid),
+                    penalty,
+                    mg,
+                    oriented,
+                    lookback=lookback,
+                    max_span=max_span,
+                )
+            )[: len(gids)]  # ONE device->host transfer
+            dup = np.zeros(len(gids), dtype=bool)
+        else:
+            packed = np.asarray(
+                _fast_scores_packed(
+                    jnp.asarray(anchors),
+                    jnp.asarray(valid),
+                    penalty,
+                    mg,
+                    oriented,
+                    lookback=lookback,
+                    max_span=max_span,
+                )
+            )[: len(gids)]  # ONE device->host transfer
+            dup = packed[:, 2 * anchors.shape[1]] != 0
         anchors = anchors[: len(gids)]
         valid = valid[: len(gids)]
         n_cols = anchors.shape[1]
-        scores = np.ascontiguousarray(packed[:, :n_cols]).view(np.float32)
-        prev = packed[:, n_cols : 2 * n_cols]
-        inexact = packed[:, 2 * n_cols] != 0
+        scores = packed[:, :n_cols].copy().view(np.float32)
+        prev = packed[:, n_cols : 2 * n_cols].copy()
+        inexact = packed[:, -1] != 0
+        # groups with duplicate window lefts: the fast kernel's break is
+        # wrong there — rerun just those rows on the exact dense kernel
+        dup_rows = np.flatnonzero(dup)
+        if dup_rows.size:
+            da = anchors[dup_rows]
+            dv = valid[dup_rows]
+            pad_g = _next_pow2(da.shape[0]) - da.shape[0]
+            if pad_g > 0:
+                da = np.pad(da, ((0, pad_g), (0, 0), (0, 0)))
+                dv = np.pad(dv, ((0, pad_g), (0, 0)))
+            dpk = np.asarray(
+                _chain_scores_packed(
+                    jnp.asarray(da), jnp.asarray(dv), penalty, mg, oriented,
+                    lookback=lookback, max_span=max_span,
+                )
+            )[: dup_rows.size]
+            scores[dup_rows] = np.ascontiguousarray(
+                dpk[:, :n_cols]
+            ).view(np.float32)
+            prev[dup_rows] = dpk[:, n_cols : 2 * n_cols]
+            inexact[dup_rows] = dpk[:, 2 * n_cols] != 0
         exact_rows = np.flatnonzero(~inexact)
         if native.available():
             tb = native.chain_traceback(

@@ -205,3 +205,86 @@ def test_native_traceback_matches_python_traceback():
         for (sa, ta), (sb, tbk) in zip(a, b):
             assert np.float32(sa) == np.float32(sb)
             assert ta == tbk
+
+
+def test_fast_kernel_bit_matches_dense_and_flags_duplicates():
+    """chain_scores_fast must be bit-identical to chain_scores_dense on
+    groups without duplicate window lefts, raise `dup` on groups with
+    them, and agree on the window-eviction `inexact` flag."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import chain as dchain
+
+    rng = np.random.RandomState(42)
+    G, N = 16, 256
+    groups = []
+    for g in range(G):
+        n = int(rng.randint(20, N))
+        q = np.sort(rng.randint(0, 100000, n)).astype(np.uint32)
+        anchors = np.stack(
+            [
+                q,
+                q + rng.randint(50, 500, n).astype(np.uint32),
+                rng.randint(0, 2, n).astype(np.uint32),
+                rng.randint(0, 100000, n).astype(np.uint32),
+                rng.randint(0, 100000, n).astype(np.uint32),
+                rng.randint(0, 2, n).astype(np.uint32),
+            ],
+            axis=1,
+        )
+        if g % 4 == 0 and n > 10:  # inject a duplicate left coordinate
+            anchors[5, :3] = anchors[4, :3]
+        groups.append(anchors)
+    anchors, valid = dchain.pad_groups(groups)
+    pad = N - anchors.shape[1]
+    anchors = np.pad(anchors, ((0, 0), (0, pad), (0, 0)))
+    valid = np.pad(valid, ((0, 0), (0, pad)))
+
+    for mg, ori, pen in [(-1, False, 0.025), (10000, True, 0.5)]:
+        sd, pd, ix_d = dchain.chain_scores_dense(
+            jnp.asarray(anchors), jnp.asarray(valid), pen, mg, ori
+        )
+        sf, pf, dup, ix_f = dchain.chain_scores_fast(
+            jnp.asarray(anchors), jnp.asarray(valid), pen, mg, ori
+        )
+        sd, pd, ix_d = map(np.asarray, (sd, pd, ix_d))
+        sf, pf, dup, ix_f = map(np.asarray, (sf, pf, dup, ix_f))
+        assert dup[0] and dup[4] and dup[8] and dup[12]
+        ok = ~dup
+        assert np.array_equal(ix_d[ok], ix_f[ok])
+        exact = ok & ~ix_f
+        if mg == -1:  # the unfiltered config must keep some exact rows
+            assert exact.any()
+        assert np.array_equal(sd[exact], sf[exact])
+        assert np.array_equal(pd[exact], pf[exact])
+
+
+def test_chain_groups_fast_vs_dense_kernel_env(test_data_dir, monkeypatch):
+    """chain_groups output must be identical whichever device kernel
+    serves it (fast is the default; dense is forced via env)."""
+    from pgrtk_tpu.ops import chain as dchain
+
+    rng = np.random.RandomState(7)
+    groups = []
+    for _ in range(12):
+        n = int(rng.randint(3, 60))
+        qb = np.sort(rng.randint(0, 5000, n)).astype(np.uint32)
+        g = np.stack(
+            [
+                qb,
+                qb + rng.randint(10, 200, n).astype(np.uint32),
+                rng.randint(0, 2, n).astype(np.uint32),
+                rng.randint(0, 5000, n).astype(np.uint32),
+                rng.randint(0, 5000, n).astype(np.uint32),
+                rng.randint(0, 2, n).astype(np.uint32),
+            ],
+            axis=1,
+        )
+        if n > 6:
+            g[3] = g[2]  # full duplicate anchor
+        groups.append(g)
+    monkeypatch.setenv("PGRTK_CHAIN_KERNEL", "fast")
+    fast = dchain.chain_groups(groups, 0.025)
+    monkeypatch.setenv("PGRTK_CHAIN_KERNEL", "dense")
+    dense = dchain.chain_groups(groups, 0.025)
+    assert fast == dense
