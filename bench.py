@@ -103,7 +103,6 @@ def worker(out_path: str):
     run_watchdog = _device_watchdog(STAGE_WATCHDOG_S, what="finish")
 
     from pgrtk_tpu.ops import pairs as pairs_ops
-    from pgrtk_tpu.ops import probe as probe_ops
     from pgrtk_tpu.ops import sketch as sketch_ops
 
     B, L = 8, 1_048_576
@@ -129,41 +128,68 @@ def worker(out_path: str):
             + (table["k0_lo"].sum() & jnp.uint32(3))
         )
 
-    # ---- synthetic >=4M-key probe table (uniform 56-bit pair hashes,
-    # key-sorted, exactly the production layout) -------------------------
-    krng = np.random.default_rng(1)
-    keys = krng.integers(
-        0, 1 << 56, size=(N_INDEX_KEYS, 2), dtype=np.uint64
-    )
-    keys = keys[np.argsort(keys[:, 0], kind="stable")]
-    t = probe_ops.build_probe_table(keys)
-    table = dict(
-        bits=t["bits"],
-        planes=[jnp.asarray(t["planes"][i]) for i in range(4)],
-        row=jnp.asarray(t["row"]),
-    )
+    # ---- synthetic pangenome for the END-TO-END query stage: C target
+    # haplotypes and B query haplotypes, all SNP-mutated copies of one
+    # base sequence; the index holds the targets' real shimmer-pair
+    # postings plus random decoy keys up to >=4M total (probe cost of a
+    # production-scale index).  The query stage runs the FULL path of
+    # the reference's aln.rs:147-242: sketch -> pairs -> probe ->
+    # postings row expansion -> per-(query,target) chain DP — parity
+    # with the host pipeline is asserted by tests/test_query_e2e.py. ----
+    from pgrtk_tpu.ops import query_e2e
 
-    def query_once(seqs_u8):
-        pr = sketch_pairs(seqs_u8)
-        q_h0 = pr["k0_hi"].reshape(-1)
-        q_l0 = pr["k0_lo"].reshape(-1)
-        q_h1 = pr["k1_hi"].reshape(-1)
-        q_l1 = pr["k1_lo"].reshape(-1)
-        found, row = probe_ops.probe_keys(table, q_h0, q_l0, q_h1, q_l1)
-        hit = found & pr["pair_valid"].reshape(-1)
-        return (
-            hit.sum().astype(jnp.uint32)
-            + (jnp.where(hit, row, 0).sum().astype(jnp.uint32) & jnp.uint32(3))
+    C = 8
+    SNP = 1e-4
+    prng = np.random.default_rng(2)
+    base = prng.integers(0, 4, size=L, dtype=np.uint8)
+
+    def mutate(rng):
+        out = base.copy()
+        n = rng.binomial(L, SNP)
+        pos = rng.choice(L, size=n, replace=False)
+        out[pos] = (out[pos] + rng.integers(1, 4, size=n)) % 4
+        return out
+
+    targets = np.stack([mutate(prng) for _ in range(C)])
+    queries = np.stack([mutate(prng) for _ in range(B)])
+    idx = query_e2e.build_synth_index(
+        targets, n_decoys=N_INDEX_KEYS, build_lookup=False
+    )
+    _emit(out_path, {
+        "stage": "index_built",
+        "n_keys": int(len(idx["keys"])),
+        "n_multi_dropped": int(idx["n_multi_dropped"]),
+    })
+    probe = idx["probe"]
+    bits = probe["bits"]
+    # big tables go in as jit ARGUMENTS (captured constants ship inside
+    # the remote-compile request, which 413s past ~200 MB)
+    q_tables = (
+        jnp.asarray(probe["planes"][0]), jnp.asarray(probe["planes"][1]),
+        jnp.asarray(probe["planes"][2]), jnp.asarray(probe["planes"][3]),
+        jnp.asarray(probe["row"]), jnp.asarray(idx["postings"]),
+    )
+    q_arr = jnp.asarray(queries)
+
+    def query_once(seqs_u8, p0, p1, p2, p3, prow, postings):
+        res = query_e2e.query_e2e_step(
+            seqs_u8, lens, bits, [p0, p1, p2, p3], prow, postings, C,
+            slots2=144,
         )
+        return query_e2e.fold_e2e_scalar(res)
 
-    def timed_chain(once):
+    def timed_chain(once, seqs, *tables, perturb="content"):
         @jax.jit
-        def chain(seqs_u8, n):
+        def chain(seqs_u8, n, *tbl):
             def body(_, carry):
                 s, acc = carry
-                a = once(s)
-                pert = (a & jnp.uint32(3)).astype(jnp.uint8)
-                return ((s + pert) % jnp.uint8(4), acc + a)
+                a = once(s, *tbl)
+                pert = a & jnp.uint32(3)
+                if perturb == "content":
+                    nxt = (s + pert.astype(jnp.uint8)) % jnp.uint8(4)
+                else:  # roll rows: content-preserving data dependency
+                    nxt = jnp.roll(s, pert.astype(jnp.int32), axis=0)
+                return (nxt, acc + a)
 
             return jax.lax.fori_loop(
                 jnp.int32(0), n, body, (seqs_u8, jnp.uint32(0))
@@ -171,18 +197,18 @@ def worker(out_path: str):
 
         # n passed as a device scalar: ONE compile serves warm-up and the
         # timed run (remote compiles through the tunnel are minutes)
-        int(chain(arr, jnp.int32(1))[1])  # warm-up / compile
-        int(chain(arr, jnp.int32(1))[1])  # settle dispatch path
+        int(chain(seqs, jnp.int32(1), *tables)[1])  # warm-up / compile
+        int(chain(seqs, jnp.int32(1), *tables)[1])  # settle dispatch path
         N = 50
         t0 = time.time()
-        acc = int(chain(arr, jnp.int32(N))[1])  # scalar sync (4 bytes)
+        acc = int(chain(seqs, jnp.int32(N), *tables)[1])  # 4-byte sync
         dt = (time.time() - t0) / N
         del acc
         return B * L / dt
 
-    index_bps = timed_chain(index_once)
+    index_bps = timed_chain(index_once, arr)
     _emit(out_path, {"stage": "index", "mbases_s": round(index_bps / 1e6, 1)})
-    query_bps = timed_chain(query_once)
+    query_bps = timed_chain(query_once, q_arr, *q_tables, perturb="roll")
     _emit(out_path, {"stage": "query", "mbases_s": round(query_bps / 1e6, 1)})
     run_watchdog.clear()
     _emit(out_path, {"stage": "done", "ok": True})

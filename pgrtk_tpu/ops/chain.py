@@ -278,6 +278,15 @@ def chain_scores_fast(
     bit-identical to it — same f32 op order, same FMA blocking, same
     nearest-wins tie-break, same window-eviction `inexact` condition.
 
+    Unlike the dense kernel, INVALID anchors do not consume window slots
+    (insertion is gated on validity, and the eviction condition counts
+    valid anchors, not scan steps).  For chain_groups input — padding
+    only after the last valid anchor — the two behaviors are identical;
+    for gapped streams (the device end-to-end query path feeds rank-
+    extracted pair planes with interspersed invalid slots) this keeps
+    the window equal to the reference's last-W-anchors window instead of
+    shrinking it by the gap density.
+
     Returns (scores (G, N) f32, best_prev (G, N) i32, dup (G,) bool,
     inexact (G,) bool).  `inexact` means window eviction (host fallback);
     `dup` means rerun on the dense kernel.
@@ -298,17 +307,16 @@ def chain_scores_fast(
         return jnp.full((W, G), v, dtype=dtype)
 
     init = dict(
-        occ=jnp.zeros((W, G), dtype=jnp.bool_),
+        w_idx=wfull(-1, jnp.int32),
         f_qe=wfull(0.0), f_tb=wfull(0.0), f_te=wfull(0.0),
         i_qb=wfull(-1, jnp.int32), i_qe=wfull(-1, jnp.int32),
         i_qo=wfull(-1, jnp.int32),
         w_rel=wfull(0, jnp.int32),
         w_score=wfull(NEG),
+        nv=jnp.zeros((G,), dtype=jnp.int32),
         dup=jnp.zeros((G,), dtype=jnp.bool_),
         inexact=jnp.zeros((G,), dtype=jnp.bool_),
     )
-
-    d_iota = jax.lax.broadcasted_iota(jnp.int32, (W, G), 0)
 
     xs = dict(
         i=jnp.arange(N, dtype=jnp.int32),
@@ -321,7 +329,7 @@ def chain_scores_fast(
 
     def step(carry, x):
         i = x["i"]
-        occ = carry["occ"]  # (W, G); slot d holds anchor i-1-d if occupied
+        occ = carry["w_idx"] >= 0  # (W, G); slot d = d-th most recent valid
 
         gap_q = jnp.abs(x["f_qb"][None, :] - carry["f_qe"])
         gap_t_same = jnp.abs(x["f_tb"][None, :] - carry["f_te"])
@@ -355,7 +363,7 @@ def chain_scores_fast(
 
         total_unf = cnt[-1]  # inclusive cumsum at the last slot
         inexact = carry["inexact"] | (
-            x["is_valid"] & (i > W) & (total_unf < max_span)
+            x["is_valid"] & (carry["nv"] > W) & (total_unf < max_span)
         )
         # a same-left pair co-resident in the window breaks the
         # distinct==count identity -> dense rerun
@@ -374,9 +382,10 @@ def chain_scores_fast(
         cand = jnp.where(scored, cand, NEG)
         best = cand.max(axis=0)
         at_best = scored & (cand == best[None, :])
-        # nearest wins ties: smallest recency d among at_best
-        d_min = jnp.min(jnp.where(at_best, d_iota, W), axis=0)
-        best_prev_idx = jnp.where(d_min < W, i - 1 - d_min, -1)
+        # nearest wins ties: the largest anchor index among at_best
+        best_prev_idx = jnp.max(
+            jnp.where(at_best, carry["w_idx"], -1), axis=0
+        )
 
         use_prev = best > 0.0
         score_i = jnp.where(use_prev, best, x["self_score"])
@@ -385,10 +394,12 @@ def chain_scores_fast(
         score_i = jnp.where(is_valid, score_i, NEG)
 
         def push(plane, v):
-            return jnp.concatenate([v[None, :], plane[:-1]], axis=0)
+            # invalid anchors do not enter the window
+            shifted = jnp.concatenate([v[None, :], plane[:-1]], axis=0)
+            return jnp.where(is_valid[None, :], shifted, plane)
 
         carry = dict(
-            occ=push(occ, is_valid),
+            w_idx=push(carry["w_idx"], jnp.full((G,), 1, jnp.int32) * i),
             f_qe=push(carry["f_qe"], x["f_qe"]),
             f_tb=push(carry["f_tb"], x["f_tb"]),
             f_te=push(carry["f_te"], x["f_te"]),
@@ -397,6 +408,7 @@ def chain_scores_fast(
             i_qo=push(carry["i_qo"], x["i_qo"]),
             w_rel=push(carry["w_rel"], x["rel"]),
             w_score=push(carry["w_score"], score_i),
+            nv=carry["nv"] + is_valid.astype(jnp.int32),
             dup=dup,
             inexact=inexact,
         )

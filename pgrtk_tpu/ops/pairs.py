@@ -20,23 +20,22 @@ import jax.numpy as jnp
 U32 = jnp.uint32
 
 
-def _rank_extract(x_hi, x_lo, y_lo, selected, block: int, slots: int):
-    """Blockwise sort-free compaction: intra-block cumsum ranks each
-    selected element; one masked u32 reduction per output slot pulls it
-    out (exactly one element matches each (block, slot) rank, so a plain
-    sum is exact — no sorting network, no gathers).
+def _rank_extract_planes(planes, selected, block: int, slots: int):
+    """Blockwise sort-free compaction of N u32/i32 planes: intra-block
+    cumsum ranks each selected element; one masked u32 reduction per
+    output slot pulls it out (exactly one element matches each
+    (block, slot) rank, so a plain sum is exact — no sorting network,
+    no gathers).
 
     (B, L) planes -> (B, (L/block)*slots) planes + valid + overflow.
     Output preserves position order WITHIN each block and across blocks,
     but invalid slots are interspersed (each block packs its own prefix).
     """
-    B, L = x_hi.shape
+    B, L = planes[0].shape
     if L % block:
         pad = block - (L % block)
         pad2 = [(0, 0), (0, pad)]
-        x_hi = jnp.pad(x_hi, pad2)
-        x_lo = jnp.pad(x_lo, pad2)
-        y_lo = jnp.pad(y_lo, pad2)
+        planes = [jnp.pad(p, pad2) for p in planes]
         selected = jnp.pad(selected, pad2, constant_values=False)
         L += pad
     nb = L // block
@@ -50,15 +49,23 @@ def _rank_extract(x_hi, x_lo, y_lo, selected, block: int, slots: int):
 
     def extract(v):
         vb = v.reshape(B * nb, 1, block)
-        return (m * vb).sum(axis=2).reshape(B, nb * slots)
+        return (m * vb.astype(jnp.uint32)).sum(axis=2).astype(
+            v.dtype
+        ).reshape(B, nb * slots)
 
     return (
-        extract(x_hi),
-        extract(x_lo),
-        extract(y_lo),
+        [extract(p) for p in planes],
         hit.any(axis=2).reshape(B, nb * slots),
         overflow,
     )
+
+
+def _rank_extract(x_hi, x_lo, y_lo, selected, block: int, slots: int):
+    """Three-plane _rank_extract_planes (the mer-stream layout)."""
+    (xh, xl, yl), valid, overflow = _rank_extract_planes(
+        (x_hi, x_lo, y_lo), selected, block, slots
+    )
+    return xh, xl, yl, valid, overflow
 
 
 # conservative sizing for the overflow rerun: 8x level-1 headroom,
@@ -280,7 +287,7 @@ def pair_mers_dense(x_hi, x_lo, y_lo, valid):
     )
 
 
-def pair_mers_gapped(x_hi, x_lo, y_lo, kept):
+def pair_mers_gapped(x_hi, x_lo, y_lo, kept, tie_orientation_one=False):
     """pair_mers_dense over a FILTERED (B, C) stream without recompacting:
     each kept mer pairs with the next kept mer, found by log2(C) jump-
     pointer propagation (shift+select) — cheaper than the payload sort
@@ -288,6 +295,11 @@ def pair_mers_gapped(x_hi, x_lo, y_lo, kept):
 
     Requires the stream to be position-ordered among kept entries (true
     for compact_mers output).  Returns the same dict as pair_mers_dense.
+
+    tie_orientation_one selects the QUERY-side tie-break for equal
+    hashes: the reference's builder uses `s0 <= s1` -> orientation 0
+    (seq_db.rs:391, the default here) while the query path uses strict
+    `s0 < s1` -> orientation 1 on ties (seq_db.rs:1213).
     """
     B, C = x_hi.shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
@@ -320,6 +332,8 @@ def pair_mers_gapped(x_hi, x_lo, y_lo, kept):
     nh_hi = nx_hi >> 8
     nh_lo = (nx_lo >> 8) | (nx_hi << 24)
     swap = (h_hi > nh_hi) | ((h_hi == nh_hi) & (h_lo > nh_lo))
+    if tie_orientation_one:
+        swap = swap | ((h_hi == nh_hi) & (h_lo == nh_lo))
     return dict(
         k0_hi=jnp.where(swap, nh_hi, h_hi),
         k0_lo=jnp.where(swap, nh_lo, h_lo),

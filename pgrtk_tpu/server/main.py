@@ -5,8 +5,11 @@ Routes (same paths as the reference axum server):
   GET  /api/get_number_of_ctgs
   POST /api/post_query_for_json_data    body: SequenceQuerySpec JSON
   GET  /api/get_html_by_query?<url-encoded SequenceQuerySpec JSON>
-  GET  /api/get_rois                     (ROI preset list; the reference
-                                          serves these over a websocket)
+  GET  /api/get_rois                     (full ROI preset map)
+  GET  /ws                               (RFC 6455 websocket: client
+                                          sends a name prefix, server
+                                          answers the matching ROI map —
+                                          pgr-server/src/main.rs:209-255)
   static files from --static-dir with index.html fallback
 
 stdlib http.server (no third-party web framework in this environment);
@@ -87,8 +90,37 @@ class Handler(BaseHTTPRequestHandler):
                 self._send(400, json.dumps({"error": str(e)}))
         elif parsed.path == "/api/get_rois":
             self._send(200, json.dumps(self.rois))
+        elif parsed.path == "/ws" and (
+            self.headers.get("Upgrade", "").lower() == "websocket"
+        ):
+            self._handle_ws()
         else:
             self._serve_static(parsed.path)
+
+    def _handle_ws(self):
+        """ROI autocomplete over websocket (reference protocol,
+        pgr-web/pgr-server/src/main.rs:209-255): text message = name
+        prefix; reply = JSON object of ROI entries whose name starts
+        with it; empty message -> {}."""
+        from . import ws
+
+        if not ws.handshake(self):
+            self._send(400, json.dumps({"error": "bad websocket request"}))
+            return
+        self._status = 101
+        self.close_connection = True
+        rois = self.rois if isinstance(self.rois, dict) else {}
+
+        def respond(prefix: str) -> str:
+            if not prefix:
+                return "{}"
+            keys = sorted(k for k in rois if k.startswith(prefix))
+            return json.dumps({k: rois[k] for k in keys})
+
+        try:
+            ws.serve_text(self, respond)
+        except (OSError, ValueError):
+            pass  # client went away mid-frame
 
     def do_POST(self):
         parsed = urllib.parse.urlparse(self.path)

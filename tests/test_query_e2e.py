@@ -1,0 +1,152 @@
+"""Device end-to-end query pipeline (ops/query_e2e.py) vs the host
+pipeline (core/query.py) on a synthetic mini-pangenome.
+
+The device path runs sketch -> pair -> probe -> postings row expansion
+-> chain DP inside one traceable function; the host path is the parity-
+tested reference implementation of seq_db.rs:1198-1257 +
+aln.rs:147-242.  Chains must match exactly (scores bit-equal, tracks
+tuple-equal) for every (query, target) group.
+"""
+import numpy as np
+import pytest
+
+BASES = b"ACGT"
+
+
+def _to_bytes(arr2bit):
+    return bytes(bytearray(BASES[b] for b in arr2bit))
+
+
+def _mutate(base, rate, rng):
+    out = base.copy()
+    n = rng.binomial(len(base), rate)
+    pos = rng.choice(len(base), size=n, replace=False)
+    out[pos] = (out[pos] + rng.integers(1, 4, size=n)) % 4
+    return out
+
+
+@pytest.fixture(scope="module")
+def synth():
+    from pgrtk_tpu.ops import query_e2e
+
+    rng = np.random.default_rng(3)
+    L, T, B = 16384, 4, 2
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    targets = np.stack([_mutate(base, 2e-4, rng) for _ in range(T)])
+    queries = np.stack([_mutate(base, 2e-4, rng) for _ in range(B)])
+    idx = query_e2e.build_synth_index(targets, n_decoys=2000, seed=11)
+    return dict(idx=idx, targets=targets, queries=queries, L=L, T=T, B=B)
+
+
+def test_device_e2e_query_matches_host_pipeline(synth):
+    import jax
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import chain as chain_ops
+    from pgrtk_tpu.ops import query_e2e
+
+    idx = synth["idx"]
+    queries = synth["queries"]
+    B, L, C = synth["B"], synth["L"], synth["T"]
+    assert idx["n_multi_dropped"] < 20  # synthetic data is near-unique
+
+    probe = idx["probe"]
+    res = jax.jit(
+        query_e2e.query_e2e_step,
+        static_argnames=("probe_bits", "C"),
+    )(
+        jnp.asarray(queries),
+        jnp.full((B,), L, jnp.int32),
+        probe["bits"],
+        [jnp.asarray(probe["planes"][i]) for i in range(4)],
+        jnp.asarray(probe["row"]),
+        jnp.asarray(idx["postings"]),
+        C,
+    )
+    assert not bool(res["overflow"])
+    anchors = np.asarray(res["anchors"])
+    gvalid = np.asarray(res["gvalid"])
+    scores = np.asarray(res["scores"])
+    prev = np.asarray(res["prev"])
+    dup = np.asarray(res["dup"])
+    inexact = np.asarray(res["inexact"])
+    assert not dup.any() and not inexact.any()
+
+    dev_chains = chain_ops.traceback(scores, prev, gvalid, anchors)
+
+    # host pipeline per query
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    lookup = idx["lookup"]
+    n_groups_checked = 0
+    for b in range(B):
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []),
+            _to_bytes(queries[b]),
+            spec,
+        )
+        host = dict(query_mod.query_fragment_to_hps(raw, 0.025))
+        for c in range(C):
+            g = b * C + c
+            n_anchors = int(gvalid[g].sum())
+            if n_anchors <= 1:
+                # the host path skips <=2-anchor groups entirely
+                assert c not in host or len(host[c]) == 0 or n_anchors <= 1
+                continue
+            assert c in host, f"host missing group b={b} sid={c}"
+            hchains = host[c]
+            dchains = dev_chains[g]
+            assert len(hchains) == len(dchains)
+            for (hs, htrack), (ds, dtrack) in zip(hchains, dchains):
+                assert np.float32(hs) == np.float32(ds)
+                assert htrack == dtrack
+            n_groups_checked += 1
+    assert n_groups_checked == B * C  # every group had real chains
+
+
+def test_anchor_sets_match_host_collect(synth):
+    """The device (query, target) anchor lanes must equal the host
+    count-filtered per-target hit lists (collect_target_hits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import query_e2e
+
+    idx = synth["idx"]
+    queries = synth["queries"]
+    B, L, C = synth["B"], synth["L"], synth["T"]
+    probe = idx["probe"]
+    res = jax.jit(
+        query_e2e.query_e2e_step,
+        static_argnames=("probe_bits", "C"),
+    )(
+        jnp.asarray(queries),
+        jnp.full((B,), L, jnp.int32),
+        probe["bits"],
+        [jnp.asarray(probe["planes"][i]) for i in range(4)],
+        jnp.asarray(probe["row"]),
+        jnp.asarray(idx["postings"]),
+        C,
+    )
+    anchors = np.asarray(res["anchors"])
+    gvalid = np.asarray(res["gvalid"])
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    lookup = idx["lookup"]
+    for b in range(B):
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []),
+            _to_bytes(queries[b]),
+            spec,
+        )
+        th = query_mod.collect_target_hits(raw)
+        for c in range(C):
+            g = b * C + c
+            dev = [
+                tuple(int(v) for v in row)
+                for row in anchors[g][gvalid[g]]
+            ]
+            host = [(*l, *t) for l, t in th.get(c, [])]
+            assert dev == host, f"anchor mismatch b={b} sid={c}"
