@@ -136,3 +136,90 @@ def test_append_from_fastx_multi_file_build(test_data_dir, tmp_path):
     # reconstruction across the append boundary
     assert db.get_seq_by_id(0) == recs[0].seq
     assert db.get_seq_by_id(9) == recs[9].seq
+
+
+def test_websocket_roi_autocomplete():
+    """/ws mirrors the reference protocol (pgr-server/src/main.rs:209-255):
+    text prefix in, JSON map of matching ROI presets out."""
+    import base64
+    import hashlib
+    import http.server
+    import socket
+    import struct
+
+    from pgrtk_tpu.server import main as sm
+    from pgrtk_tpu.server import ws
+
+    rois = {
+        "AMY1A": {"source": "s", "ctg": "c1", "bgn": 1, "end": 2},
+        "AMY2B": {"source": "s", "ctg": "c2", "bgn": 3, "end": 4},
+        "TBC1D3": {"source": "s", "ctg": "c3", "bgn": 5, "end": 6},
+    }
+    sm.Handler.rois = rois
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), sm.Handler)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        sock.sendall(
+            (
+                "GET /ws HTTP/1.1\r\n"
+                f"Host: 127.0.0.1:{port}\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        f = sock.makefile("rb")
+        status = f.readline()
+        assert b"101" in status
+        accept = None
+        while True:
+            line = f.readline().strip()
+            if not line:
+                break
+            if line.lower().startswith(b"sec-websocket-accept:"):
+                accept = line.split(b":", 1)[1].strip().decode()
+        expect = base64.b64encode(
+            hashlib.sha1((key + ws.GUID).encode()).digest()
+        ).decode()
+        assert accept == expect
+
+        def send_text(txt):
+            payload = txt.encode()
+            mask = b"\x11\x22\x33\x44"
+            masked = bytes(
+                c ^ mask[i & 3] for i, c in enumerate(payload)
+            )
+            hdr = bytes([0x81])
+            assert len(payload) < 126
+            hdr += bytes([0x80 | len(payload)])
+            sock.sendall(hdr + mask + masked)
+
+        def recv_text():
+            b0, b1 = f.read(2)
+            assert b0 & 0x0F == 1
+            ln = b1 & 0x7F
+            if ln == 126:
+                ln = struct.unpack(">H", f.read(2))[0]
+            return f.read(ln).decode()
+
+        send_text("AMY")
+        res = json.loads(recv_text())
+        assert sorted(res) == ["AMY1A", "AMY2B"]
+        assert res["AMY1A"]["ctg"] == "c1"
+        send_text("TBC")
+        assert list(json.loads(recv_text())) == ["TBC1D3"]
+        send_text("")
+        assert json.loads(recv_text()) == {}
+        send_text("ZZZ")
+        assert json.loads(recv_text()) == {}
+        # clean close
+        sock.sendall(bytes([0x88, 0x80]) + b"\x00\x00\x00\x00")
+        sock.close()
+    finally:
+        sm.Handler.rois = []
+        srv.shutdown()
