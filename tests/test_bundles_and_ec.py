@@ -201,3 +201,35 @@ def test_adj_list_device_matches_host(test_data_dir, monkeypatch):
         dev = gb.frag_map_to_adj_list(frag_map, min_count, keeps)
         monkeypatch.undo()
         assert dev == host and host
+
+
+def test_pdb_codec_against_hand_authored_golden():
+    """tests/goldens/tiny.pdb was hand-derived from the bincode-2
+    standard-config spec (varint thresholds 0xFB/0xFC/0xFD, LE payloads,
+    raw u8, usize-as-u64) for the reference's exact tuple layout
+    (pgr-pbundle-decomp.rs:155-240) — the closest achievable substitute
+    for a Rust-written file on this box (no Rust toolchain).  The codec
+    must read it exactly and reproduce its bytes."""
+    import os
+
+    from pgrtk_tpu.core import pdb_io
+
+    golden = os.path.join(
+        os.path.dirname(__file__), "goldens", "tiny.pdb"
+    )
+    w, k, r, ms, mbs, mc, bundles, vmap = pdb_io.read_pdb(golden)
+    assert (w, k, r, ms, mbs, mc) == (48, 56, 4, 12, 8, 2)
+    assert bundles == [
+        (0, 1, [(300, 70000000000, 0), (251, 65535, 1)]),
+        (1, 0, [(1, 2, 1)]),
+    ]
+    assert vmap == {(300, 70000000000): (5, 1, 123456)}
+
+    out = golden + ".rt"
+    try:
+        pdb_io.write_pdb(out, w, k, r, ms, mbs, mc, bundles, vmap)
+        with open(golden, "rb") as a, open(out, "rb") as b:
+            assert a.read() == b.read()
+    finally:
+        if os.path.exists(out):
+            os.remove(out)
