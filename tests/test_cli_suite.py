@@ -249,3 +249,47 @@ def test_sv_pipeline_localizes_planted_events(tmp_path):
         1 for line in open(tmp_path / "out.vcf") if not line.startswith("#")
     )
     assert n_var > 200
+
+
+def test_pgr_probe_match_cli(tmp_path, capsys):
+    from pgrtk_tpu.cli import pgr_probe_match
+
+    reads = tmp_path / "reads.fa"
+    reads.write_text(
+        ">r1\nAAAACCCCGGGGTTTTAAGGCCTTAACC\n"   # vprobe + t1probe
+        ">r2\nGGTTAAGGCCTTCCCCGGGGA\n"           # vprobe (palindromic) + t2
+        ">r3\nTTTTTTTTTTTTTTTTTTTT\n"            # no match
+        ">r4\nACCCCGGGTTGCAGCAGCAGAA\n"          # vprobe-ish? no exact\n
+    )
+    probes = tmp_path / "probes.tsv"
+    probes.write_text("V1\tCCCCGGGG\tT1\tAAGGCCTT\tT2\tGGTTAAGG\n")
+    assert pgr_probe_match.main(
+        [str(probes), "-q", str(reads)]
+    ) == 0
+    out = capsys.readouterr().out.strip()
+    # r1 matches V (fwd) + T1; r2 matches V + T1(rc: AAGGCCTT present) + T2
+    fields = out.split()
+    assert fields[0] == "V1" and fields[2] == "T1" and fields[4] == "T2"
+    assert int(fields[1]) == 2
+    assert int(fields[3]) == 2
+    assert int(fields[5]) >= 1
+
+
+def test_pgr_multifilter_cli(tmp_path, test_data_dir):
+    from pgrtk_tpu.cli import pgr_multifilter
+
+    ref = os.path.join(test_data_dir, "test_agc_ref.fa")
+    qry = os.path.join(test_data_dir, "test_agc_seqs.fa")
+    unrelated = tmp_path / "unrelated.fa"
+    unrelated.write_text(">u1\n" + "ACGT" * 64 + "\n")
+    lst = tmp_path / "refs.tsv"
+    lst.write_text(f"{ref}\tlocus\n{unrelated}\tnone\n")
+    assert pgr_multifilter.main(
+        [str(lst), str(tmp_path / "out"), "-q", qry]
+    ) == 0
+    locus = (tmp_path / "out_locus.fa").read_text()
+    none = (tmp_path / "out_none.fa").read_text()
+    n_locus = sum(1 for l in locus.splitlines() if l.startswith(">"))
+    n_none = sum(1 for l in none.splitlines() if l.startswith(">"))
+    assert n_locus >= 60   # same-locus reads pass their filter
+    assert n_none == 0     # nothing passes the unrelated filter
