@@ -174,9 +174,37 @@ def worker(out_path: str):
     def query_once(seqs_u8, p0, p1, p2, p3, prow, postings):
         res = query_e2e.query_e2e_step(
             seqs_u8, lens, bits, [p0, p1, p2, p3], prow, postings, C,
-            slots2=144,
+            slots2=384,
         )
         return query_e2e.fold_e2e_scalar(res)
+
+    # certify the e2e pipeline BEFORE timing: a dirty flag means dropped
+    # anchors or an inexact chain window, and the throughput number would
+    # be meaningless (round-3 lesson: a mis-sized pair compaction once
+    # dropped half the anchors and only the scalar fold carried the flag)
+    @jax.jit
+    def _certify(seqs_u8, p0, p1, p2, p3, prow, postings):
+        res = query_e2e.query_e2e_step(
+            seqs_u8, lens, bits, [p0, p1, p2, p3], prow, postings, C,
+            slots2=384,
+        )
+        return (
+            res["overflow"].astype(jnp.int32),
+            res["dup"].sum().astype(jnp.int32),
+            res["inexact"].sum().astype(jnp.int32),
+            res["gvalid"].sum().astype(jnp.int32),
+        )
+
+    ovf_q, ndup, ninex, nanch = (
+        int(v) for v in _certify(q_arr, *q_tables)
+    )
+    _emit(out_path, {
+        "stage": "query_certify", "overflow": ovf_q, "dup_groups": ndup,
+        "inexact_groups": ninex, "n_anchors": nanch,
+    })
+    assert ovf_q == 0 and ndup == 0 and ninex == 0, (
+        f"e2e query flags dirty: ovf={ovf_q} dup={ndup} inexact={ninex}"
+    )
 
     def timed_chain(once, seqs, *tables, perturb="content"):
         @jax.jit

@@ -555,6 +555,11 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _stable_sorted(g) -> np.ndarray:
+    g = np.ascontiguousarray(g, dtype=np.uint32)
+    return g[np.argsort(g[:, 0], kind="stable")]
+
+
 def chain_groups(
     groups,
     penalty: float,
@@ -582,17 +587,13 @@ def chain_groups(
 
     if not groups:
         return []
-    sorted_groups = []
-    for g in groups:
-        g = np.ascontiguousarray(g, dtype=np.uint32)
-        order = np.argsort(g[:, 0], kind="stable")
-        sorted_groups.append(g[order])
+    sizes = [g.shape[0] for g in groups]
 
     results = [None] * len(groups)
     # bucket by padded size to bound jit recompiles (pow2 shapes)
     buckets = {}
-    for gi, g in enumerate(sorted_groups):
-        buckets.setdefault(_next_pow2(max(g.shape[0], 8)), []).append(gi)
+    for gi, n in enumerate(sizes):
+        buckets.setdefault(_next_pow2(max(n, 8)), []).append(gi)
     # merge under-filled buckets upward: every device dispatch pays a
     # fixed round-trip cost (tens of ms through the network tunnel), so
     # padding a few groups to the next size is cheaper than a second
@@ -604,11 +605,28 @@ def chain_groups(
 
     mg = -1 if max_gap is None else int(max_gap)
     for npad, gids in buckets.items():
-        anchors, valid = pad_groups([sorted_groups[i] for i in gids])
-        pad_n = npad - anchors.shape[1]
-        if pad_n > 0:
-            anchors = np.pad(anchors, ((0, 0), (0, pad_n), (0, 0)))
-            valid = np.pad(valid, ((0, 0), (0, pad_n)))
+        # vectorized pad + batched stable q_bgn sort (the reference sorts
+        # each group's anchors by q_bgn before the DP; a python per-group
+        # argsort loop dominated 10k-group batches)
+        nb = len(gids)
+        lens_ = np.asarray([sizes[i] for i in gids], dtype=np.int64)
+        flat = np.concatenate(
+            [np.ascontiguousarray(groups[i], dtype=np.uint32).reshape(-1, 6)
+             for i in gids]
+        ) if nb else np.zeros((0, 6), np.uint32)
+        offsets = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(lens_, out=offsets[1:])
+        rows = np.repeat(np.arange(nb), lens_)
+        cols = np.arange(offsets[-1]) - np.repeat(offsets[:-1], lens_)
+        anchors = np.zeros((nb, npad, 6), dtype=np.uint32)
+        valid = np.zeros((nb, npad), dtype=bool)
+        anchors[rows, cols] = flat
+        valid[rows, cols] = True
+        qb = np.where(valid, anchors[..., 0], np.uint32(0xFFFFFFFF))
+        order = np.argsort(qb, axis=1, kind="stable")
+        anchors = np.take_along_axis(anchors, order[:, :, None], axis=1)
+        # invalid slots (key 0xFFFFFFFF) sort last, so `valid` stays the
+        # same prefix mask
         # pad the GROUP dim to a power of two as well (all-invalid rows):
         # a traced leading dim would otherwise recompile for every
         # distinct batch's group count (remote compiles run 10s-6min)
@@ -697,7 +715,8 @@ def chain_groups(
         for row in np.flatnonzero(inexact):
             gi = gids[row]
             chains = native.sparse_aln(
-                sorted_groups[gi], max_span, penalty, max_gap, oriented
+                _stable_sorted(groups[gi]), max_span, penalty, max_gap,
+                oriented
             )
             if as_arrays:
                 results[gi] = [

@@ -180,7 +180,7 @@ def query_e2e_step(
     r: int = 4,
     min_span: int = 64,
     chunk: int = 512,
-    slots2: int = 96,
+    slots2: int = 384,
     penalty: float = 0.025,
     lookback: int = 32,
     max_span: int = 8,

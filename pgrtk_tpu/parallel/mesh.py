@@ -319,8 +319,14 @@ def _shard_probe_planes(shard, bits: int):
     uses the high plane), so bucket geometry is identical on every shard
     and for queries regardless of n_devices.
 
-    Returns (planes[4] (2^bits, W) u32, row (2^bits, W) i32,
-    probe_overflow bool scalar).
+    Alongside the 4 key planes, the table's POSTINGS fields (sid,
+    orientation<<31|bgn, end) are scattered into the same (bucket, col)
+    geometry — a probe row fetch then doubles as postings expansion:
+    every occurrence of a key sits in its bucket row, so the 128-wide
+    hit mask marks the key's full postings list with no extra gather.
+
+    Returns (planes[7] (2^bits, W) u32 — k0_hi, k0_lo, k1_hi, k1_lo,
+    sid, bgnori, end —, row (2^bits, W) i32, probe_overflow bool).
     """
     nb = 1 << bits
     k0h, k0l = shard["k0_hi"], shard["k0_lo"]
@@ -346,9 +352,14 @@ def _shard_probe_planes(shard, bits: int):
         b_sorted * PROBE_W + col,
         nb * PROBE_W,
     )
+    bgnori = (shard["orientation"] << 31) | shard["bgn"]
     planes = []
-    for plane in (k0h, k0l, k1h, k1l):
-        flat = jnp.full((nb * PROBE_W,), U32(0xFFFFFFFF))
+    for plane, fill in (
+        (k0h, U32(0xFFFFFFFF)), (k0l, U32(0xFFFFFFFF)),
+        (k1h, U32(0xFFFFFFFF)), (k1l, U32(0xFFFFFFFF)),
+        (shard["sid"], U32(0)), (bgnori, U32(0)), (shard["end"], U32(0)),
+    ):
+        flat = jnp.full((nb * PROBE_W,), fill)
         flat = flat.at[target].set(
             jnp.take(plane, idx_sorted), mode="drop"
         )
@@ -495,7 +506,7 @@ def sharded_index_v2_step(
                 "valid", "k0_hi", "k0_lo", "k1_hi", "k1_lo", "sid",
                 "bgn", "end", "orientation",
             )},
-            probe=dict(planes=[P(axis)] * 4, row=P(axis)),
+            probe=dict(planes=[P(axis)] * 7, row=P(axis)),
             n_pairs=P(),
             shard_overflow=P(),
             compact_overflow=P(),
@@ -571,6 +582,235 @@ def sharded_query_v2_step(
             P(axis), P(axis), P(axis), P(axis),
         ),
         out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_query_v2_e2e_step(
+    mesh: Mesh,
+    shard_capacity: int,
+    n_targets: int,
+    k: int = 56,
+    r: int = 4,
+    min_span: int = 64,
+    chunk: int = 512,
+    slots2: int = 384,
+    penalty: float = 0.025,
+    lookback: int = 32,
+    max_span: int = 8,
+    route_capacity: Optional[int] = None,
+    compact_kw: Optional[dict] = None,
+):
+    """END-TO-END query against the hash-range-sharded v2 index: the
+    full reference query path (seq_db.rs:1198-1257 + aln.rs:147-242)
+    distributed over the mesh with TWO all_to_alls.
+
+    Per device: sketch the LOCAL queries, compact the pair stream
+    (rank-extract, slots2 wide level 2), key-sort the pairs by owner
+    range with the original position as payload, ROUTE the 4 key planes
+    to their hash-range owners (all_to_all #1).  Owners probe their
+    shard's bucketed planes — _shard_probe_planes scatters the postings
+    fields (sid, ori<<31|bgn, end) into the same geometry, so the probe
+    row fetch doubles as postings expansion: for each target sid slot c,
+    a masked reduce over the 128-wide hit row extracts that target's
+    signature (exact while per-(key,sid) multiplicity <= 1; violations
+    raise `multi_overflow`).  The (2*n_targets)-plane hit rows ride
+    all_to_all #2 back to the querying device in the exact send layout,
+    are unsorted to original pair order, and chained locally as
+    (query, target) lanes via ops.chain.chain_scores_fast.
+
+    Takes (seqs_u8, lengths, rids, *probe_planes[7]) with the planes
+    from sharded_index_v2_step (sharded along the axis).  Returns dict
+    with anchors (B*n_targets, Pc, 6) u32, gvalid, scores, prev (all
+    sharded query-major), dup/inexact (per-group flags), and psum'd
+    overflow flags.  Chain traceback stays on host (as in the
+    single-chip path).
+    """
+    from jax import shard_map
+
+    from ..ops.chain import chain_scores_fast
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    bits = probe_bits_for(shard_capacity)
+    C = n_targets
+
+    def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3, psid, pbgn, pend):
+        B_loc = seqs_u8.shape[0]
+        xh, xl, yl, valid, c_ovf = _sketch_compact(
+            seqs_u8, lengths, rids, k, r, min_span, chunk, compact_kw
+        )
+        keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, min_span)
+        pr = pairs_ops.pair_mers_gapped(
+            xh, xl, yl, keep, tie_orientation_one=True
+        )
+        cp, cvalid, ovf2 = pairs_ops._rank_extract_planes(
+            (
+                pr["k0_hi"], pr["k0_lo"], pr["k1_hi"], pr["k1_lo"],
+                pr["bgn"], pr["end"], pr["orientation"],
+            ),
+            pr["pair_valid"], 512, slots2,
+        )
+        q_h0, q_l0, q_h1, q_l1, q_bgn, q_end, q_ori = cp
+        Pc = q_h0.shape[1]
+        n_loc = B_loc * Pc
+
+        # ---- owner routing: sort pair keys by hash0's top bits --------
+        fh0 = q_h0.reshape(-1)
+        fl0 = q_l0.reshape(-1)
+        fh1 = q_h1.reshape(-1)
+        fl1 = q_l1.reshape(-1)
+        fva = cvalid.reshape(-1)
+        w0 = (fh0 << 8) | (fl0 >> 24)  # hash0 >> 24, 32 bits
+        w0 = jnp.where(fva, w0, U32(0xFFFFFFFF))
+        idx = jnp.arange(n_loc, dtype=jnp.int32)
+        w0s, perm, sh0, sl0, sh1, sl1 = jax.lax.sort(
+            (w0, idx, fh0, fl0, fh1, fl1), num_keys=1
+        )
+        n_valid = fva.sum().astype(jnp.int32)
+        per = jnp.uint32(((1 << 24) // n_dev) << 8)
+        bounds = jnp.arange(1, n_dev, dtype=jnp.uint32) * per
+        offs = jnp.searchsorted(w0s, bounds).astype(jnp.int32)
+        off_full = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), offs, n_valid[None]]
+        )
+        cnt = off_full[1:] - off_full[:-1]
+        route_cap = route_capacity or min(
+            n_loc, max(128, -(-2 * n_loc // n_dev))
+        )
+        route_overflow = (cnt > route_cap).any()
+
+        jrow = jnp.arange(route_cap, dtype=jnp.int32)
+        send = {kk: [] for kk in ("h0", "l0", "h1", "l1")}
+        starts = []
+        masks = []
+        for d in range(n_dev):  # static: contiguous owner runs
+            start = jnp.clip(off_full[d], 0, max(0, n_loc - route_cap))
+            gidx = start + jrow
+            mask = (gidx >= off_full[d]) & (gidx < off_full[d + 1])
+            starts.append(start)
+            masks.append(mask)
+            for kk, plane in zip(
+                ("h0", "l0", "h1", "l1"), (sh0, sl0, sh1, sl1)
+            ):
+                v = jax.lax.dynamic_slice(plane, (start,), (route_cap,))
+                send[kk].append(jnp.where(mask, v, U32(0xFFFFFFFF)))
+        buf = {kk: jnp.stack(v) for kk, v in send.items()}
+        recv = {
+            kk: jax.lax.all_to_all(v, axis, 0, 0).reshape(-1)
+            for kk, v in buf.items()
+        }
+
+        # ---- owner side: probe + slot-aligned postings extraction -----
+        bucket = (recv["l0"] >> (32 - bits)).astype(jnp.int32)
+        r0 = jnp.take(p0, bucket, axis=0)
+        r1 = jnp.take(p1, bucket, axis=0)
+        r2 = jnp.take(p2, bucket, axis=0)
+        r3 = jnp.take(p3, bucket, axis=0)
+        # padded route slots carry all-ones keys, which would match the
+        # all-ones padding slots of the probe rows — mask them out (a
+        # real k0_hi is hash0>>32, 24 bits, never all-ones)
+        valid_recv = recv["h0"] != U32(0xFFFFFFFF)
+        hit = (
+            (r0 == recv["h0"][:, None])
+            & (r1 == recv["l0"][:, None])
+            & (r2 == recv["h1"][:, None])
+            & (r3 == recv["l1"][:, None])
+            & valid_recv[:, None]
+        )  # (Q, W) — all postings of the key in this shard
+        rsid = jnp.take(psid, bucket, axis=0)
+        rbgn = jnp.take(pbgn, bucket, axis=0)
+        rend = jnp.take(pend, bucket, axis=0)
+        hb_planes = []
+        he_planes = []
+        multi = jnp.zeros(hit.shape[:1], dtype=jnp.bool_)
+        for c in range(C):  # static target-slot loop
+            sel = hit & (rsid == U32(c))
+            multi = multi | (sel.sum(axis=1) > 1)
+            hv = sel.any(axis=1)
+            hb_planes.append(jnp.where(sel, rbgn, U32(0)).sum(axis=1))
+            he_planes.append(
+                (hv.astype(U32) << 31)
+                | jnp.where(sel, rend, U32(0)).sum(axis=1)
+            )
+        multi_overflow = multi.any()
+        back = jnp.stack(hb_planes + he_planes, axis=1)  # (Q, 2C)
+        back = jax.lax.all_to_all(
+            back.reshape(n_dev, route_cap, 2 * C), axis, 0, 0
+        )  # (n_dev, route_cap, 2C) in the original send layout
+
+        # ---- reassemble into sorted-pair order, then unsort ------------
+        hits_sorted = jnp.zeros((n_loc, 2 * C), dtype=U32)
+        for d in range(n_dev):
+            cur = jax.lax.dynamic_slice(
+                hits_sorted, (starts[d], 0), (route_cap, 2 * C)
+            )
+            new = jnp.where(masks[d][:, None], back[d], cur)
+            hits_sorted = jax.lax.dynamic_update_slice(
+                hits_sorted, new, (starts[d], 0)
+            )
+        unsort = jax.lax.sort(
+            (perm,) + tuple(hits_sorted[:, j] for j in range(2 * C)),
+            num_keys=1,
+        )
+        hits = jnp.stack(unsort[1:], axis=1)  # (n_loc, 2C) original order
+
+        hb = hits[:, :C].reshape(B_loc, Pc, C)
+        he = hits[:, C:].reshape(B_loc, Pc, C)
+        slot_valid = (he >> 31) != 0
+        t_ori = hb >> 31
+        t_bgn = hb & U32(0x7FFFFFFF)
+        t_end = he & U32(0x7FFFFFFF)
+        hitmask = cvalid[:, :, None] & slot_valid
+
+        def lane(v):
+            return v.transpose(0, 2, 1).reshape(B_loc * C, Pc)
+
+        def lane_q(v):
+            return jnp.broadcast_to(
+                v[:, None, :], (B_loc, C, Pc)
+            ).reshape(B_loc * C, Pc)
+
+        anchors = jnp.stack(
+            [
+                lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
+                lane(t_bgn), lane(t_end), lane(t_ori),
+            ],
+            axis=-1,
+        )
+        gvalid = lane(hitmask)
+        scores, prev, dup, inexact = chain_scores_fast(
+            anchors, gvalid, penalty, -1, False,
+            lookback=lookback, max_span=max_span,
+        )
+        agg = lambda v: jax.lax.psum(v.astype(jnp.int32), axis) > 0
+        return dict(
+            anchors=anchors,
+            gvalid=gvalid,
+            scores=scores,
+            prev=prev,
+            dup=dup,
+            inexact=inexact,
+            n_hits=jax.lax.psum(gvalid.sum(), axis),
+            compact_overflow=agg(c_ovf | ovf2),
+            route_overflow=agg(route_overflow),
+            multi_overflow=agg(multi_overflow),
+        )
+
+    sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(axis, None), P(axis), P(axis),
+            P(axis), P(axis), P(axis), P(axis),
+            P(axis), P(axis), P(axis),
+        ),
+        out_specs=dict(
+            anchors=P(axis), gvalid=P(axis), scores=P(axis), prev=P(axis),
+            dup=P(axis), inexact=P(axis), n_hits=P(),
+            compact_overflow=P(), route_overflow=P(), multi_overflow=P(),
+        ),
         check_vma=False,
     )
     return jax.jit(sharded)

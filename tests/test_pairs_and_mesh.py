@@ -181,7 +181,7 @@ def test_sharded_index_v2_matches_v1():
     qstep = pmesh.sharded_query_v2_step(mesh, cap, chunk=512)
     planes = tuple(
         jax.device_put(p, NamedSharding(mesh, P(axis)))
-        for p in v2["probe"]["planes"]
+        for p in v2["probe"]["planes"][:4]  # key planes (5-7 = postings)
     )
     n_hits, _found, q_ovf = qstep(sd, ld, rd, *planes)
     assert not bool(q_ovf)
@@ -367,3 +367,84 @@ def test_index_step_auto_rerun_on_overflow():
              int(np.asarray(t["end"])[j]), int(np.asarray(t["orientation"])[j]))
         )
     assert got == expected
+
+
+def test_sharded_e2e_query_content_matches_host_pipeline():
+    """Distributed end-to-end query (v2 sharded build -> route -> probe
+    -> postings extraction -> route back -> chain) must produce the host
+    pipeline's anchors and chains EXACTLY, per (query, target) group."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.ops import chain as chain_ops
+    from pgrtk_tpu.ops import query_e2e
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    B, L = 8, 16384
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    seqs = np.stack([base.copy() for _ in range(B)])
+    for b in range(B):  # mutated copies => multi-target postings
+        n = rng.binomial(L, 3e-4)
+        pos = rng.choice(L, size=n, replace=False)
+        seqs[b, pos] = (seqs[b, pos] + rng.integers(1, 4, size=n)) % 4
+
+    mesh = pmesh.make_mesh(8)
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis, None))
+    shard1 = NamedSharding(mesh, P(axis))
+    seqs_d = jax.device_put(jnp.asarray(seqs), shard)
+    lens_d = jax.device_put(jnp.full(B, L, jnp.int32), shard1)
+    rids_d = jax.device_put(jnp.arange(B, dtype=jnp.uint32), shard1)
+
+    cap = 4096
+    v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(
+        seqs_d, lens_d, rids_d
+    )
+    assert not bool(v2["shard_overflow"]) and not bool(v2["probe_overflow"])
+    e2e = pmesh.sharded_query_v2_e2e_step(
+        mesh, cap, n_targets=B, slots2=96
+    )(seqs_d, lens_d, rids_d, *v2["probe"]["planes"])
+    for flag in ("compact_overflow", "route_overflow", "multi_overflow"):
+        assert not bool(e2e[flag]), flag
+    anchors = np.asarray(e2e["anchors"])
+    gvalid = np.asarray(e2e["gvalid"])
+    scores = np.asarray(e2e["scores"])
+    prev = np.asarray(e2e["prev"])
+    assert not np.asarray(e2e["dup"]).any()
+    assert not np.asarray(e2e["inexact"]).any()
+
+    # host arbiter: same corpus, same builder semantics
+    idx = query_e2e.build_synth_index(seqs, n_decoys=0)
+    assert idx["n_multi_dropped"] == 0
+    lookup = idx["lookup"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    BASES = b"ACGT"
+    dev_chains = chain_ops.traceback(scores, prev, gvalid, anchors)
+    n_checked = 0
+    for b in range(B):
+        qbytes = bytes(bytearray(BASES[v] for v in seqs[b]))
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []), qbytes, spec
+        )
+        th = query_mod.collect_target_hits(raw)
+        host_chains = dict(query_mod.query_fragment_to_hps(raw, 0.025))
+        for c in range(B):
+            g = b * B + c
+            dev = [
+                tuple(int(v) for v in row)
+                for row in anchors[g][gvalid[g]]
+            ]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host, f"anchor mismatch b={b} sid={c}"
+            if len(host) > 1:
+                hch = host_chains[c]
+                dch = dev_chains[g]
+                assert len(hch) == len(dch)
+                for (hs, htr), (ds, dtr) in zip(hch, dch):
+                    assert np.float32(hs) == np.float32(ds)
+                    assert htr == dtr
+                n_checked += 1
+    assert n_checked == B * B  # every (query, target) group had chains
