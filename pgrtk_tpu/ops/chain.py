@@ -245,7 +245,9 @@ def chain_scores_dense(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lookback", "oriented", "max_gap", "penalty", "max_span"),
+    static_argnames=(
+        "lookback", "oriented", "max_gap", "penalty", "max_span", "unroll"
+    ),
 )
 def chain_scores_fast(
     anchors: jnp.ndarray,
@@ -255,6 +257,7 @@ def chain_scores_fast(
     oriented: bool = False,
     lookback: int = 32,
     max_span: int = 8,
+    unroll: int = 4,
 ):
     """O(W)-per-step variant of chain_scores_dense for the common case of
     DISTINCT window lefts.
@@ -414,7 +417,7 @@ def chain_scores_fast(
         )
         return carry, (score_i, prev_i)
 
-    final, (scores_t, prev_t) = jax.lax.scan(step, init, xs, unroll=4)
+    final, (scores_t, prev_t) = jax.lax.scan(step, init, xs, unroll=unroll)
     return scores_t.T, prev_t.T, final["dup"], final["inexact"]
 
 

@@ -184,6 +184,7 @@ def query_e2e_step(
     penalty: float = 0.025,
     lookback: int = 32,
     max_span: int = 8,
+    unroll: int = 8,
 ):
     """One full device query step (traceable; callers jit it).
 
@@ -250,7 +251,7 @@ def query_e2e_step(
     gvalid = lane(hit)
     scores, prev, dup, inexact = chain_scores_fast(
         anchors, gvalid, penalty, -1, False,
-        lookback=lookback, max_span=max_span,
+        lookback=lookback, max_span=max_span, unroll=unroll,
     )
     return dict(
         anchors=anchors,

@@ -75,22 +75,26 @@ def _shifted_query_planes(q: jnp.ndarray, L: int) -> jnp.ndarray:
 
 def _run_length_planes(match: jnp.ndarray, L: int) -> jnp.ndarray:
     """(G, D, L) bool -> (G, D, L) i16: length of the all-True run
-    starting at each position (jump-pointer doubling)."""
-    r = match.astype(jnp.int32)
+    starting at each position (jump-pointer doubling, i16 throughout —
+    runs are <= L <= 2^15 and the plane is the kernel's biggest HBM
+    resident, so narrow math halves the build traffic)."""
+    r = match.astype(jnp.int16)
     size = 1
     while size < L:
         shifted = jnp.concatenate(
-            [r[..., size:], jnp.zeros(r.shape[:-1] + (size,), jnp.int32)],
+            [r[..., size:], jnp.zeros(r.shape[:-1] + (size,), jnp.int16)],
             axis=-1,
         )
-        r = r + jnp.where(r == size, shifted, 0)
+        r = r + jnp.where(r == jnp.int16(size), shifted, jnp.int16(0))
         size *= 2
-    return r.astype(jnp.int16)
+    return r
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "S_max", "max_wf_length", "x", "o", "e"),
+    static_argnames=(
+        "L", "S_max", "max_wf_length", "x", "o", "e", "band_w", "band_l"
+    ),
 )
 def wfa_forward_batch(
     t_batch: jnp.ndarray,
@@ -103,8 +107,22 @@ def wfa_forward_batch(
     x: int = 3,
     o: int = 3,
     e: int = 1,
+    band_w: int = 512,
+    band_l: int = 128,
 ):
     """Forward WFA over G segment pairs.
+
+    The extend step is BANDED (docs/ROADMAP.md round-2 diagnosis: the
+    unbanded kernel re-read the full (G, 2L, L) run-length plane every
+    score step and lost 17x to the threaded host).  Each step re-slices
+    a per-segment (band_w x band_l) window of the run-length plane —
+    band_w diagonals centered on the live [lo, hi] wavefront (which the
+    adaptive trim keeps <= max_wf_length+2 wide, so this never clips)
+    and band_l offsets starting at the minimum live entry offset.  A
+    segment whose live offsets spread wider than band_l (a wavefront
+    straddling a very long indel) raises its sticky `band_overflow`
+    flag, never completes on device, and falls back to the host path —
+    same contract as the score/length caps.
 
     Args:
       t_batch, q_batch: (G, L) u8 padded sequences
@@ -115,9 +133,12 @@ def wfa_forward_batch(
       m_hist : (S_max + 9, G, 2L) i16 — M wavefront per score (-1 = null)
       lo_hist, hi_hist : (S_max + 9, G) i16 — per-score window
       final_s : (G,) i32 — completing score, or -1 (host fallback needed)
+      band_overflow : (G,) bool — fell back due to offset spread
     """
     G = t_batch.shape[0]
     D = 2 * L
+    W = min(band_w, D)
+    Lb = min(band_l, L)
     karr = jnp.arange(D, dtype=jnp.int32) - L  # absolute diagonal per slot
 
     # ---- match run-length planes (the entire extend step, precomputed)
@@ -132,14 +153,38 @@ def wfa_forward_batch(
     match = (shiftq == t_batch[:, None, :]) & in_bounds
     runlen = _run_length_planes(match, L)  # (G, D, L) i16
 
-    def extend(off):
-        """off: (G, D) i32 entry offsets -> extended offsets (masked
-        reduction over runlen; off out of [0, L) contributes 0)."""
-        sel = i_iota[None, None, :] == off[:, :, None]
-        run = jnp.sum(
-            jnp.where(sel, runlen.astype(jnp.int32), 0), axis=2
+    lb_iota = jnp.arange(Lb, dtype=jnp.int32)
+
+    def extend(off, lo, hi):
+        """off: (G, D) i32 entry offsets (< 0 = no entry); lo/hi: (G,)
+        live diagonal window.  Returns (extended offsets (G, D),
+        out-of-band flag (G,)).  Reads only a (W, Lb) run-length window
+        per segment, re-sliced here (two vmapped contiguous
+        dynamic_slices) instead of scanning the full plane."""
+        live = off >= 0
+        center = jnp.where(hi >= lo, (lo + hi) // 2, 0)
+        kb = jnp.clip(center + L - W // 2, 0, D - W)
+        mn = jnp.min(jnp.where(live, off, jnp.int32(L)), axis=1)
+        ob = jnp.clip(mn, 0, max(0, L - Lb))
+
+        off_w = jax.vmap(
+            lambda v, s: jax.lax.dynamic_slice(v, (s,), (W,))
+        )(off, kb)
+        rl_w = jax.vmap(
+            lambda v, s0, s1: jax.lax.dynamic_slice(v, (s0, s1), (W, Lb))
+        )(runlen, kb, ob)
+        rel = off_w - ob[:, None]
+        sel = lb_iota[None, None, :] == rel[:, :, None]
+        run_w = jnp.where(sel, rl_w, jnp.int16(0)).sum(
+            axis=2, dtype=jnp.int32
         )
-        return off + run
+        # a live lookup outside the offset band cannot be served exactly
+        oob = jnp.any((off_w >= 0) & (rel >= Lb), axis=1)
+        run = jnp.zeros((G, D), jnp.int32)
+        run = jax.vmap(
+            lambda acc, v, s: jax.lax.dynamic_update_slice(acc, v, (s,))
+        )(run, run_w, kb)
+        return off + run, oob
 
     NEG = jnp.int32(KNULL)
     ring = max(x, o + e) + 1
@@ -153,11 +198,13 @@ def wfa_forward_batch(
     at_kend = karr[None, :] == k_end[:, None]  # (G, D)
 
     # s = 0: M(0) = extend(0, 0) on diagonal 0 only
-    off0 = jnp.zeros((G, D), jnp.int32)
-    ext0 = extend(off0)
-    M0 = jnp.where(karr[None, :] == 0, ext0, NEG)
     lo0 = jnp.zeros((G,), jnp.int32)
     hi0 = jnp.zeros((G,), jnp.int32)
+    off0 = jnp.broadcast_to(
+        jnp.where(karr[None, :] == 0, 0, -1), (G, D)
+    )
+    ext0, _oob0 = extend(off0, lo0, hi0)
+    M0 = jnp.where(karr[None, :] == 0, ext0, NEG)
     done0 = (
         jnp.sum(jnp.where(at_kend, M0, 0), axis=1) >= n
     ) & (k_end == 0)
@@ -184,6 +231,7 @@ def wfa_forward_batch(
     # empty wavefront sentinel: lo=1, hi=0 for ring slots not yet written
     lor = lor.at[1:].set(1)
     final_s = jnp.where(done0, 0, -1)
+    band_flag = jnp.zeros((G,), dtype=jnp.bool_)
 
     def shift_k_plus(v):   # value at k-1: shift plane right along k axis
         return jnp.concatenate(
@@ -198,11 +246,12 @@ def wfa_forward_batch(
     half = max_wf_length // 2
 
     def cond(carry):
-        s, final_s = carry[0], carry[-1]
-        return (s <= S_max) & jnp.any(final_s < 0)
+        s, band_flag, final_s = carry[0], carry[-2], carry[-1]
+        return (s <= S_max) & jnp.any((final_s < 0) & ~band_flag)
 
     def body(carry):
-        (s, Mr, Ir, Dr, lor, hir, m_hist, lo_hist, hi_hist, final_s) = carry
+        (s, Mr, Ir, Dr, lor, hir, m_hist, lo_hist, hi_hist, band_flag,
+         final_s) = carry
         sx = (s - x) % ring
         soe = (s - o - e) % ring
         se = (s - e) % ring
@@ -249,7 +298,13 @@ def wfa_forward_batch(
             & (yy <= m[:, None])
         )
         mm_ok = jnp.where(ok & in_win, mm, NEG)
-        ext = extend(jnp.where(mm_ok > NEG, mm_ok, -1))
+        ext, oob = extend(
+            jnp.where(mm_ok > NEG, mm_ok, -1), lo_new, hi_new
+        )
+        # an out-of-band lookup under-extends (run contributes 0) — never
+        # a spurious completion, so flagging the row for host fallback is
+        # sufficient; its remaining device steps are discarded
+        band_flag = band_flag | (oob & (final_s < 0))
         Mnew = jnp.where(mm_ok > NEG, ext, NEG)
         Inew = jnp.where(in_win, ins, NEG)
         Dnew = jnp.where(in_win, dels, NEG)
@@ -261,7 +316,7 @@ def wfa_forward_batch(
             & (mk >= n)
             & (mk - k_end >= m)
         )
-        done_now = (final_s < 0) & hit
+        done_now = (final_s < 0) & hit & ~band_flag
         final_s = jnp.where(done_now, s, final_s)
 
         # adaptive trim (wfa.cc:127-156), skipped for just-completed rows
@@ -306,7 +361,8 @@ def wfa_forward_batch(
             hi_hist, hi_f.astype(jnp.int16)[None], (s, 0)
         )
         return (
-            s + 1, Mr, Ir, Dr, lor, hir, m_hist, lo_hist, hi_hist, final_s
+            s + 1, Mr, Ir, Dr, lor, hir, m_hist, lo_hist, hi_hist,
+            band_flag, final_s,
         )
 
     def body_k(carry):
@@ -316,12 +372,15 @@ def wfa_forward_batch(
 
     carry = (
         jnp.int32(1), Mr, Ir, Dr, lor, hir, m_hist, lo_hist, hi_hist,
-        final_s,
+        band_flag, final_s,
     )
     carry = jax.lax.while_loop(cond, body_k, carry)
-    (_s, _Mr, _Ir, _Dr, _lor, _hir, m_hist, lo_hist, hi_hist, final_s) = carry
+    (_s, _Mr, _Ir, _Dr, _lor, _hir, m_hist, lo_hist, hi_hist, band_flag,
+     final_s) = carry
     return dict(
-        m_hist=m_hist, lo_hist=lo_hist, hi_hist=hi_hist, final_s=final_s
+        m_hist=m_hist, lo_hist=lo_hist, hi_hist=hi_hist,
+        final_s=jnp.where(band_flag, -1, final_s),
+        band_overflow=band_flag,
     )
 
 

@@ -166,3 +166,44 @@ def test_batch_wfa_high_divergence_exercises_trim():
     got2 = dwfa.batch_wfa_align([(t, q2)], S_max=256)
     want2 = host_wfa.wfa_align_bases(t.decode(), q2.decode(), 384, 3, 3, 1)
     assert got2[0] == want2
+
+
+def test_banded_extend_adversarial_indels_bit_exact():
+    """The banded extend (round-3: per-step (band_w x band_l) run-length
+    window instead of the full plane) must stay bit-exact through big
+    indels and unrelated pairs — rows whose offsets spread past the band
+    raise band_overflow and fall back to the host path transparently."""
+    import numpy as np
+
+    from pgrtk_tpu.core import wfa as host_wfa
+    from pgrtk_tpu.ops import wfa as dev_wfa
+
+    rng = np.random.RandomState(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs = []
+    for i in range(24):
+        n = int(rng.randint(50, 500))
+        t = bytes(rng.choice(bases, n).tolist())
+        s = bytearray(t)
+        mode = i % 4
+        if mode == 0:  # SNPs
+            for _ in range(rng.randint(1, 8)):
+                p = rng.randint(0, len(s))
+                s[p] = bases[rng.randint(4)]
+        elif mode == 1 and len(s) > 120:  # big deletion
+            p = rng.randint(10, len(s) - 110)
+            del s[p : p + rng.randint(50, 100)]
+        elif mode == 2:  # big insertion
+            p = rng.randint(0, len(s))
+            s[p:p] = bytes(rng.choice(bases, rng.randint(50, 150)).tolist())
+        else:  # unrelated
+            s = bytearray(
+                bytes(rng.choice(bases, rng.randint(50, 400)).tolist())
+            )
+        pairs.append((t, bytes(s)))
+    out_dev = dev_wfa.batch_wfa_align(pairs, chunk=32)
+    out_host = [
+        host_wfa.wfa_align_bases(t.decode(), q.decode(), 384, 3, 3, 1)
+        for t, q in pairs
+    ]
+    assert out_dev == out_host
