@@ -103,3 +103,63 @@ def probe_keys(table, q_h0, q_l0, q_h1, q_l1):
     big = jnp.int32(2**31 - 1)
     row = jnp.where(hit, br, big).min(axis=1)
     return found, jnp.where(found, row, -1)
+
+
+def build_probe_table_dense(keys: np.ndarray, avg_per_bucket: int = 64):
+    """Two-level fence+probe layout: ~1.0x key-array memory (vs ~2.5x
+    for the padded-bucket planes incl. their row plane).
+
+    Keys are stored DENSE in key-sorted order as 4 u32 planes reshaped
+    to 128-wide rows; a fence array gives each bucket's start offset.
+    A probe gathers the bucket's fence, fetches the TWO aligned 128-wide
+    rows covering [start, start+256) — enough for any bucket at
+    lambda=64 (max bucket ~110 at 4M keys) — and compares.  The matched
+    position IS the table row (no row plane at all).
+
+    Returns dict(bits, planes 4 x (ceil(N/128)+1, 128) u32, fence
+    (2^bits + 1,) i32, n).  Falls back (asserts) if any bucket exceeds
+    128 - impossible-in-practice for uniform Wang-hash keys.
+    """
+    n = len(keys)
+    bits = max(1, int(np.ceil(np.log2(max(2, n / avg_per_bucket)))))
+    shift = np.uint64(HASH_BITS - bits)
+    bucket = (keys[:, 0] >> shift).astype(np.int64)
+    counts = np.bincount(bucket, minlength=1 << bits)
+    assert counts.max() <= 128, "bucket overflow; use build_probe_table"
+    nb = 1 << bits
+    fence = np.zeros(nb + 1, dtype=np.int32)
+    np.cumsum(counts, out=fence[1:])
+    n_rows = -(-n // 128) + 1  # +1: the second fetched row may run off
+    planes = np.full((4, n_rows, 128), 0xFFFFFFFF, dtype=np.uint32)
+    flat = planes.reshape(4, -1)
+    flat[0, :n] = (keys[:, 0] >> np.uint64(32)).astype(np.uint32)
+    flat[1, :n] = (keys[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    flat[2, :n] = (keys[:, 1] >> np.uint64(32)).astype(np.uint32)
+    flat[3, :n] = (keys[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    return dict(bits=bits, planes=planes, fence=fence, n=n)
+
+
+def probe_keys_dense(table, q_h0, q_l0, q_h1, q_l1):
+    """Vectorized probe of a dense fence table: (found, row) per query
+    key, row = index into the key-sorted table (-1 if absent)."""
+    import jax.numpy as jnp
+
+    bits = table["bits"]
+    t0, t1, t2, t3 = (table["planes"][i] for i in range(4))
+    fence = table["fence"]
+    bucket = (q_h0 >> (24 - bits)) if bits <= 24 else (
+        (q_h0 << (bits - 24)) | (q_l0 >> (56 - bits))
+    )
+    start = jnp.take(fence, bucket.astype(jnp.int32))
+    base = start >> 7  # 128-wide rows
+    rows2 = jnp.stack([base, base + 1], axis=1)  # (Q, 2)
+    hit = (
+        (jnp.take(t0, rows2, axis=0) == q_h0[:, None, None])
+        & (jnp.take(t1, rows2, axis=0) == q_l0[:, None, None])
+        & (jnp.take(t2, rows2, axis=0) == q_h1[:, None, None])
+        & (jnp.take(t3, rows2, axis=0) == q_l1[:, None, None])
+    )  # (Q, 2, 128)
+    found = hit.any(axis=(1, 2))
+    pos = jnp.argmax(hit.reshape(hit.shape[0], -1), axis=1).astype(jnp.int32)
+    row = (base << 7) + pos
+    return found, jnp.where(found, row, -1)

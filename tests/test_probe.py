@@ -65,3 +65,50 @@ def test_probe_handles_duplicate_keys():
     # first-occurrence row: the key at that row matches the query
     r = np.asarray(row)
     assert (keys[r] == base).all()
+
+
+def test_dense_fence_table_matches_padded_layout():
+    """build_probe_table_dense (~1.0x key-array memory, no row plane)
+    must return the same (found, row) as the padded-bucket layout,
+    including duplicate keys (first-occurrence row) and misses."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import probe
+
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 1 << 56, size=(100_000, 2), dtype=np.uint64)
+    keys[500] = keys[501] = keys[502]  # duplicate run
+    keys = keys[np.lexsort((keys[:, 1], keys[:, 0]))]
+    t_old = probe.build_probe_table(keys)
+    t_new = probe.build_probe_table_dense(keys)
+    told = dict(
+        bits=t_old["bits"],
+        planes=[jnp.asarray(t_old["planes"][i]) for i in range(4)],
+        row=jnp.asarray(t_old["row"]),
+    )
+    tnew = dict(
+        bits=t_new["bits"],
+        planes=[jnp.asarray(t_new["planes"][i]) for i in range(4)],
+        fence=jnp.asarray(t_new["fence"]),
+    )
+    qk = np.concatenate(
+        [
+            keys[rng.integers(0, len(keys), 3000)],
+            rng.integers(0, 1 << 56, size=(3000, 2), dtype=np.uint64),
+        ]
+    )
+    qs = [
+        jnp.asarray(v.astype(np.uint32))
+        for v in (
+            qk[:, 0] >> np.uint64(32), qk[:, 0] & np.uint64(0xFFFFFFFF),
+            qk[:, 1] >> np.uint64(32), qk[:, 1] & np.uint64(0xFFFFFFFF),
+        )
+    ]
+    f1, r1 = probe.probe_keys(told, *qs)
+    f2, r2 = probe.probe_keys_dense(tnew, *qs)
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    mem_old = t_old["planes"].nbytes + t_old["row"].nbytes
+    mem_new = t_new["planes"].nbytes + t_new["fence"].nbytes
+    assert mem_new <= 1.2 * keys.nbytes  # the layout's whole point
+    assert mem_new < mem_old / 2
