@@ -151,39 +151,36 @@ def wfa_forward_batch(
         & (j_idx < m[:, None, None])
     )
     match = (shiftq == t_batch[:, None, :]) & in_bounds
-    runlen = _run_length_planes(match, L)  # (G, D, L) i16
+    # OFFSET-MAJOR layout (G, L, D): the per-step offset-band slice is
+    # then a major-axis block per segment, which XLA serves as one big
+    # contiguous-slice gather instead of the element-wise gather a
+    # (G, D, L)-layout slice lowers to (measured 13 ms/step — the whole
+    # round-2 kernel's loss in one op)
+    runlen = jnp.transpose(
+        _run_length_planes(match, L), (0, 2, 1)
+    )  # (G, L, D) i16
 
     lb_iota = jnp.arange(Lb, dtype=jnp.int32)
 
     def extend(off, lo, hi):
-        """off: (G, D) i32 entry offsets (< 0 = no entry); lo/hi: (G,)
-        live diagonal window.  Returns (extended offsets (G, D),
-        out-of-band flag (G,)).  Reads only a (W, Lb) run-length window
-        per segment, re-sliced here (two vmapped contiguous
-        dynamic_slices) instead of scanning the full plane."""
+        """off: (G, D) i32 entry offsets (< 0 = no entry); lo/hi unused
+        (kept for signature stability).  Returns (extended offsets,
+        out-of-band flag (G,)).  Reads only an (Lb, D) offset-band of
+        the run-length plane per segment instead of scanning the full
+        plane per step."""
         live = off >= 0
-        center = jnp.where(hi >= lo, (lo + hi) // 2, 0)
-        kb = jnp.clip(center + L - W // 2, 0, D - W)
         mn = jnp.min(jnp.where(live, off, jnp.int32(L)), axis=1)
         ob = jnp.clip(mn, 0, max(0, L - Lb))
-
-        off_w = jax.vmap(
-            lambda v, s: jax.lax.dynamic_slice(v, (s,), (W,))
-        )(off, kb)
-        rl_w = jax.vmap(
-            lambda v, s0, s1: jax.lax.dynamic_slice(v, (s0, s1), (W, Lb))
-        )(runlen, kb, ob)
-        rel = off_w - ob[:, None]
-        sel = lb_iota[None, None, :] == rel[:, :, None]
-        run_w = jnp.where(sel, rl_w, jnp.int16(0)).sum(
-            axis=2, dtype=jnp.int32
+        rl_b = jax.vmap(
+            lambda v, s: jax.lax.dynamic_slice(v, (s, 0), (Lb, D))
+        )(runlen, ob)  # (G, Lb, D)
+        rel = off - ob[:, None]  # (G, D)
+        sel = lb_iota[None, :, None] == rel[:, None, :]
+        run = jnp.where(sel, rl_b, jnp.int16(0)).sum(
+            axis=1, dtype=jnp.int32
         )
         # a live lookup outside the offset band cannot be served exactly
-        oob = jnp.any((off_w >= 0) & (rel >= Lb), axis=1)
-        run = jnp.zeros((G, D), jnp.int32)
-        run = jax.vmap(
-            lambda acc, v, s: jax.lax.dynamic_update_slice(acc, v, (s,))
-        )(run, run_w, kb)
+        oob = jnp.any(live & (rel >= Lb), axis=1)
         return off + run, oob
 
     NEG = jnp.int32(KNULL)

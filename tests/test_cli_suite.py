@@ -293,3 +293,37 @@ def test_pgr_multifilter_cli(tmp_path, test_data_dir):
     n_none = sum(1 for l in none.splitlines() if l.startswith(">"))
     assert n_locus >= 60   # same-locus reads pass their filter
     assert n_none == 0     # nothing passes the unrelated filter
+
+
+def test_pgr_fasta_smp_count_cli(tmp_path, test_data_dir):
+    from pgrtk_tpu.cli import pgr_fasta_smp_count
+
+    out = tmp_path / "counts.txt"
+    fa = os.path.join(test_data_dir, "test_seqs.fa")
+    assert pgr_fasta_smp_count.main(
+        ["-i", fa, "-o", str(out), "-m", "2", "-w", "31", "-k", "31",
+         "-r", "1"]
+    ) == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) > 50
+    k0, k1, c = lines[0].split()
+    assert len(k0) == 16 and len(k1) == 16 and int(c) >= 2
+    # sorted canonical order
+    keys = [tuple(l.split()[:2]) for l in lines]
+    assert keys == sorted(keys)
+
+
+def test_pgr_shmmr_pair_count_cli(tmp_path, test_data_dir):
+    from pgrtk_tpu.cli import pgr_shmmr_pair_count
+
+    prefix = os.path.join(test_data_dir, "test_seqs_frag")
+    out = tmp_path / "spc.txt"
+    assert pgr_shmmr_pair_count.main(
+        [prefix, "-o", str(out), "-m", "2"]
+    ) == 0
+    lines = out.read_text().splitlines()
+    assert len(lines) > 10
+    # every indexed key appears once, with a plausible source count
+    for l in lines[:20]:
+        k0, k1, n = l.split()
+        assert int(n) >= 0
