@@ -108,21 +108,21 @@ def wfa_forward_batch(
     o: int = 3,
     e: int = 1,
     band_w: int = 512,
-    band_l: int = 128,
+    band_l: int = 512,
 ):
     """Forward WFA over G segment pairs.
 
-    The extend step is BANDED (docs/ROADMAP.md round-2 diagnosis: the
-    unbanded kernel re-read the full (G, 2L, L) run-length plane every
-    score step and lost 17x to the threaded host).  Each step re-slices
-    a per-segment (band_w x band_l) window of the run-length plane —
-    band_w diagonals centered on the live [lo, hi] wavefront (which the
-    adaptive trim keeps <= max_wf_length+2 wide, so this never clips)
-    and band_l offsets starting at the minimum live entry offset.  A
-    segment whose live offsets spread wider than band_l (a wavefront
-    straddling a very long indel) raises its sticky `band_overflow`
-    flag, never completes on device, and falls back to the host path —
-    same contract as the score/length caps.
+    The extend step reads the precomputed run-length plane with one
+    masked i16 reduction per step by default; band_l < L switches to a
+    per-segment offset band with a sticky `band_overflow` spread flag
+    (host-fallback contract) — opt-in only: measured SV-segment offset
+    spreads equal the match-run lengths, so banding mostly buys
+    fallbacks (see extend()).  Profiling note (round 3, G=256 SV
+    segments, S~16): the forward pass is dominated by the one-time
+    run-length plane BUILD (~41 of ~51 ms), not the loop; and the
+    multi-threaded C++ host path measures ~60k seg/s on 400 bp segments
+    — device WFA at this segment size cannot win through the tunnel, so
+    production keeps routing gap segments to the host (core/wfa.py).
 
     Args:
       t_batch, q_batch: (G, L) u8 padded sequences
@@ -151,33 +151,39 @@ def wfa_forward_batch(
         & (j_idx < m[:, None, None])
     )
     match = (shiftq == t_batch[:, None, :]) & in_bounds
-    # OFFSET-MAJOR layout (G, L, D): the per-step offset-band slice is
-    # then a major-axis block per segment, which XLA serves as one big
-    # contiguous-slice gather instead of the element-wise gather a
-    # (G, D, L)-layout slice lowers to (measured 13 ms/step — the whole
-    # round-2 kernel's loss in one op)
-    runlen = jnp.transpose(
-        _run_length_planes(match, L), (0, 2, 1)
-    )  # (G, L, D) i16
+    runlen = _run_length_planes(match, L)  # (G, D, L) i16
 
+    i16_iota = jnp.arange(L, dtype=jnp.int32)
     lb_iota = jnp.arange(Lb, dtype=jnp.int32)
 
     def extend(off, lo, hi):
-        """off: (G, D) i32 entry offsets (< 0 = no entry); lo/hi unused
-        (kept for signature stability).  Returns (extended offsets,
-        out-of-band flag (G,)).  Reads only an (Lb, D) offset-band of
-        the run-length plane per segment instead of scanning the full
-        plane per step."""
+        """off: (G, D) i32 entry offsets (< 0 = no entry); lo/hi unused.
+        Returns (extended offsets, out-of-band flag (G,)).
+
+        Default (band_l >= L): one masked i16 reduction over the full
+        run-length plane.  With band_l < L, reads only an offset band
+        per segment — measured on real SV segments this LOSES: wavefront
+        offset spreads equal the match-run lengths (hundreds of bases at
+        SV similarity, 210 observed vs Lb=128), so ~1/3 of segments
+        raise the spread flag and pay double (device + host fallback).
+        Banding stays available for high-divergence workloads whose
+        spreads are score-bounded."""
         live = off >= 0
+        if Lb >= L:
+            sel = i16_iota[None, None, :] == off[:, :, None]
+            run = jnp.where(sel, runlen, jnp.int16(0)).sum(
+                axis=2, dtype=jnp.int32
+            )
+            return off + run, jnp.zeros((G,), jnp.bool_)
         mn = jnp.min(jnp.where(live, off, jnp.int32(L)), axis=1)
         ob = jnp.clip(mn, 0, max(0, L - Lb))
         rl_b = jax.vmap(
-            lambda v, s: jax.lax.dynamic_slice(v, (s, 0), (Lb, D))
-        )(runlen, ob)  # (G, Lb, D)
+            lambda v, s: jax.lax.dynamic_slice(v, (0, s), (D, Lb))
+        )(runlen, ob)  # (G, D, Lb)
         rel = off - ob[:, None]  # (G, D)
-        sel = lb_iota[None, :, None] == rel[:, None, :]
+        sel = lb_iota[None, None, :] == rel[:, :, None]
         run = jnp.where(sel, rl_b, jnp.int16(0)).sum(
-            axis=1, dtype=jnp.int32
+            axis=2, dtype=jnp.int32
         )
         # a live lookup outside the offset band cannot be served exactly
         oob = jnp.any(live & (rel >= Lb), axis=1)
