@@ -175,7 +175,7 @@ def worker(out_path: str):
     q_tables = (
         jnp.asarray(probe["planes"][0]), jnp.asarray(probe["planes"][1]),
         jnp.asarray(probe["planes"][2]), jnp.asarray(probe["planes"][3]),
-        jnp.asarray(probe["row"]), jnp.asarray(idx["postings"]),
+        jnp.asarray(probe["fence"]), jnp.asarray(idx["postings"]),
     )
     q_arr = jnp.asarray(queries)
     q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)

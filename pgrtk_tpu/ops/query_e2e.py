@@ -37,7 +37,7 @@ from .pairs import (
     min_span_filter_gapped,
     pair_mers_gapped,
 )
-from .probe import build_probe_table, probe_keys
+from .probe import build_probe_table_dense, probe_keys_dense
 from .sketch import sketch_compact_mode2
 
 
@@ -157,7 +157,7 @@ def build_synth_index(
         postings[drow, d_sid] = (d_ori << np.uint32(31)) | d_bgn
         postings[drow, C + d_sid] = np.uint32(1 << 31) | d_end
 
-    probe = build_probe_table(keys)
+    probe = build_probe_table_dense(keys)
     return dict(
         keys=keys,
         postings=postings,
@@ -173,7 +173,7 @@ def query_e2e_step(
     lens,
     probe_bits: int,
     probe_planes,
-    probe_row,
+    probe_fence,
     postings,
     C: int,
     k: int = 56,
@@ -212,8 +212,8 @@ def query_e2e_step(
     q_h0, q_l0, q_h1, q_l1, q_bgn, q_end, q_ori = cp
     Pc = q_h0.shape[1]
 
-    table = dict(bits=probe_bits, planes=probe_planes, row=probe_row)
-    found, row = probe_keys(
+    table = dict(bits=probe_bits, planes=probe_planes, fence=probe_fence)
+    found, row = probe_keys_dense(
         table,
         q_h0.reshape(-1), q_l0.reshape(-1),
         q_h1.reshape(-1), q_l1.reshape(-1),

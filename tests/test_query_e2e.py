@@ -61,7 +61,7 @@ def test_device_e2e_query_matches_host_pipeline(synth):
         jnp.full((B,), L, jnp.int32),
         probe["bits"],
         [jnp.asarray(probe["planes"][i]) for i in range(4)],
-        jnp.asarray(probe["row"]),
+        jnp.asarray(probe["fence"]),
         jnp.asarray(idx["postings"]),
         C,
     )
@@ -127,7 +127,7 @@ def test_anchor_sets_match_host_collect(synth):
         jnp.full((B,), L, jnp.int32),
         probe["bits"],
         [jnp.asarray(probe["planes"][i]) for i in range(4)],
-        jnp.asarray(probe["row"]),
+        jnp.asarray(probe["fence"]),
         jnp.asarray(idx["postings"]),
         C,
     )
