@@ -73,7 +73,17 @@ def batch_sequence_to_shmmrs(
         from ..utils import dispatch
 
         total = sum(len(s) for _rid, s in seqs)
-        if dispatch.use_device(total, forced=_FORCE, what="sketch"):
+        # mode-1 (windowed minimizer) auto-dispatches to device only
+        # where transfers are cheap: its consumers need the mer stream
+        # on HOST, and through the network tunnel the compacted-plane
+        # pull still loses to the 171 Mb/s native path (measured round
+        # 3); mode-2's consumers stay on device, so it keeps the
+        # size-threshold auto-dispatch.  PGRTK_SKETCH_BACKEND=device
+        # still forces mode-1 onto the accelerator.
+        auto_ok = spec.sketch or _FORCE == "device"
+        if auto_ok and dispatch.use_device(
+            total, forced=_FORCE, what="sketch"
+        ):
             return _batch_device(list(seqs), spec)
     nat = _native()
     if nat is not None:
@@ -94,7 +104,10 @@ def batch_sequence_to_shmmrs_arrays(
         from ..utils import dispatch
 
         total = sum(len(s) for _rid, s in seqs)
-        if dispatch.use_device(total, forced=_FORCE, what="sketch"):
+        auto_ok = spec.sketch or _FORCE == "device"  # see note above
+        if auto_ok and dispatch.use_device(
+            total, forced=_FORCE, what="sketch"
+        ):
             byte_seqs = [s for _rid, s in seqs]
             rids = [rid for rid, _s in seqs]
             if spec.sketch:
@@ -103,13 +116,7 @@ def batch_sequence_to_shmmrs_arrays(
                 return dsk.sketch_mode2(byte_seqs, rids, spec)
             from ..ops import sketch1 as dsk1
 
-            return [
-                (
-                    np.asarray([m[0] for m in ms], dtype=np.uint64),
-                    np.asarray([m[1] for m in ms], dtype=np.uint64),
-                )
-                for ms in dsk1.sketch_mode1(byte_seqs, rids, spec)
-            ]
+            return dsk1.sketch_mode1_arrays(byte_seqs, rids, spec)
     nat = _native()
     if nat is not None:
         return nat.batch_sequence_to_shmmrs_arrays(seqs, spec, padding)

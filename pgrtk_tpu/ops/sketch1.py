@@ -211,12 +211,55 @@ def sketch_mode1_dense(
     )
 
 
-def sketch_mode1(
+@functools.partial(jax.jit, static_argnames=("k", "w", "chunk"))
+def _mode1_compacted(seqs_u8, lengths, k, w, chunk=512):
+    """sketch_mode1_dense + on-device rank-extract compaction of the
+    emitted stream (~4% dense), plus a tiny per-sequence tail slice of
+    the raw mer planes.  Only the compacted planes cross the
+    device->host link — pulling the dense (B, L) planes measured ~3 s
+    of tunnel transfer per 8 Mbase, 500x the kernel itself."""
+    from . import pairs as pairs_ops
+
+    out = sketch_mode1_dense(seqs_u8, lengths, k, w, chunk)
+    B, L = seqs_u8.shape
+    pos = jax.lax.broadcasted_iota(U32, (B, L), 1)
+    posstrand = (pos << 1) | (out["meta"] & 1)
+    SLOTS = 64  # per-512-block capacity; low-complexity runs overflow
+    planes, cvalid, _ovf = pairs_ops._rank_extract_planes(
+        (out["x_hi"], out["x_lo"], posstrand), out["emitted"], 512, SLOTS
+    )
+    nb = -(-L // 512)
+    cnt = jnp.pad(
+        out["emitted"], [(0, 0), (0, nb * 512 - L)]
+    ).reshape(B, nb, 512).sum(axis=2)
+    ovf_row = (cnt > SLOTS).any(axis=1)  # per-seq scalar-fallback flag
+    TW = 2 * w
+    starts = jnp.clip(lengths - TW, 0)
+    tails = [
+        jax.vmap(
+            lambda v, s: jax.lax.dynamic_slice(v, (s,), (TW,))
+        )(plane, starts)
+        for plane in (out["x_hi"], out["x_lo"], out["meta"])
+    ]
+    return dict(
+        c_hi=planes[0], c_lo=planes[1], c_posstrand=planes[2],
+        c_valid=cvalid,
+        tail_hi=tails[0], tail_lo=tails[1], tail_meta=tails[2],
+        tail_base=starts,
+        palindrome_seen=out["palindrome_seen"],
+        overflow=ovf_row,
+    )
+
+
+def sketch_mode1_arrays(
     seqs: Sequence[bytes], rids=None, spec: ShmmrSpec = None, chunk: int = 512
-) -> List[List[Tuple[int, int]]]:
+):
     """Host API: exact mode-1 sketch via the device emission kernel + the
-    host tail + native reduce/filter.  Falls back to the native scalar
-    sketcher per-sequence when a palindromic k-mer is seen."""
+    host tail + native reduce/filter, returning per-seq (x, y) uint64
+    ARRAYS end-to-end (no per-mer Python tuples — the tuple path's
+    marshalling cost exceeded the device kernel itself at batch scale).
+    Falls back to the native scalar sketcher per-sequence when a
+    palindromic k-mer is seen."""
     from ..native import api as native
 
     spec = spec or ShmmrSpec(sketch=False)
@@ -225,65 +268,112 @@ def sketch_mode1(
         rids = list(range(len(seqs)))
     w, k = spec.w, spec.k
     arr, lens = sketch_ops.pad_batch(seqs, multiple=chunk)
-    out = sketch_mode1_dense(
+    out = _mode1_compacted(
         jnp.asarray(arr), jnp.asarray(lens), k, w, chunk
     )
-    palin = np.asarray(out["palindrome_seen"])
-    x = (np.asarray(out["x_hi"], np.uint64) << np.uint64(32)) | np.asarray(
-        out["x_lo"], np.uint64
-    )
-    strand = (np.asarray(out["meta"]) & 1).astype(np.uint64)
-    emitted = np.asarray(out["emitted"])
+    palin = np.asarray(out["palindrome_seen"]) | np.asarray(
+        out["overflow"]
+    )  # overflow: same per-sequence scalar-fallback contract
+    # compacted planes only cross the device->host link (the dense (B, L)
+    # planes cost ~3 s of tunnel transfer per 8 Mbase; the emitted stream
+    # is ~4% dense)
+    c_hi = np.asarray(out["c_hi"], np.uint64)
+    c_lo = np.asarray(out["c_lo"], np.uint64)
+    c_ps = np.asarray(out["c_posstrand"])  # pos<<1 | strand, u32
+    c_valid = np.asarray(out["c_valid"])
+    # tail slice of the raw mer planes (only needed when w > k: the
+    # suppressed boundary region; tiny)
+    tail_x = (
+        np.asarray(out["tail_hi"], np.uint64) << np.uint64(32)
+    ) | np.asarray(out["tail_lo"], np.uint64)
+    tail_strand = (np.asarray(out["tail_meta"]) & 1).astype(np.uint64)
+    tail_base = np.asarray(out["tail_base"])
+
+    def scalar_arrays(rid, seq):
+        mers = native.sequence_to_shmmrs(rid, seq, spec)
+        if not mers:
+            z = np.zeros(0, dtype=np.uint64)
+            return z, z
+        a = np.asarray(mers, dtype=np.uint64)
+        return a[:, 0], a[:, 1]
 
     results = []
     for i, seq in enumerate(seqs):
         L = len(seq)
         rid = int(rids[i])
-        if palin[i]:
-            # palindromic k-mer: THIS sequence's emission stream is not
-            # positionally dense — scalar fallback for it alone
-            results.append(native.sequence_to_shmmrs(rid, seq, spec))
-            continue
-        xs = x[i]
-        ys = (
-            (np.uint64(rid) << np.uint64(32))
-            | (np.arange(x.shape[1], dtype=np.uint64) << np.uint64(1))
-            | strand[i]
-        )
         t0 = min(L - w + k - 1, L - 1)
-        if t0 < k + w - 1:
-            # too short for the parallel path: scalar sketch
-            results.append(native.sequence_to_shmmrs(rid, seq, spec))
+        if palin[i] or t0 < k + w - 1:
+            # palindromic k-mer (non-dense emission stream) or too short
+            # for the parallel path: scalar fallback for this sequence
+            results.append(scalar_arrays(rid, seq))
             continue
-        idx = np.flatnonzero(emitted[i])
-        stream = [(int(xs[j]), int(ys[j])) for j in idx]
-        # sequential tail from the invariant state at t0
-        win = xs[max(0, t0 - w + 1) : t0 + 1]
-        mn = win.min()
-        ties = np.flatnonzero(win == mn)
-        min_pos = int(ties[-1]) + max(0, t0 - w + 1)
-        min_x = int(mn)
-        mdist = t0 - min_pos
-        for p in range(t0 + 1, L):
-            xp = int(xs[p])
-            if mdist == w - 1:
-                lo = p - w + 1
-                sub = xs[lo : p + 1]
-                mn2 = int(sub.min())
-                for j in np.flatnonzero(sub == mn2):
-                    jj = lo + int(j)
-                    stream.append((int(xs[jj]), int(ys[jj])))
-                    min_pos = jj
-                min_x = mn2
-                mdist = p - min_pos
-            elif xp <= min_x and w + k <= p < L - w + k:
-                stream.append((xp, int(ys[p])))
-                min_pos = p
-                min_x = xp
-                mdist = 0
-            else:
-                mdist += 1
+        vm = c_valid[i]
+        em_pos = (c_ps[i][vm] >> 1).astype(np.int64)
+        em_x = (c_hi[i][vm] << np.uint64(32)) | c_lo[i][vm]
+        em_strand = (c_ps[i][vm] & 1).astype(np.uint64)
+        # sequential tail from the invariant state at t0 (w > k only) —
+        # runs on the tiny tail slice; collects emitted POSITIONS
+        tb = int(tail_base[i])
+        txs = tail_x[i]
+
+        def xval(p):
+            return int(txs[p - tb])
+
+        tail_pos = []
+        if t0 + 1 < L:
+            w_lo = max(0, t0 - w + 1)
+            win = txs[w_lo - tb : t0 + 1 - tb]
+            mn = win.min()
+            ties = np.flatnonzero(win == mn)
+            min_pos = int(ties[-1]) + w_lo
+            min_x = int(mn)
+            mdist = t0 - min_pos
+            for p in range(t0 + 1, L):
+                xp = xval(p)
+                if mdist == w - 1:
+                    lo = p - w + 1
+                    sub = txs[lo - tb : p + 1 - tb]
+                    mn2 = int(sub.min())
+                    for j in np.flatnonzero(sub == mn2):
+                        jj = lo + int(j)
+                        tail_pos.append(jj)
+                        min_pos = jj
+                    min_x = mn2
+                    mdist = p - min_pos
+                elif xp <= min_x and w + k <= p < L - w + k:
+                    tail_pos.append(p)
+                    min_pos = p
+                    min_x = xp
+                    mdist = 0
+                else:
+                    mdist += 1
+        if tail_pos:
+            tp = np.asarray(tail_pos, dtype=np.int64)
+            sx = np.concatenate([em_x, tail_x[i][tp - tb]])
+            sy_pos = np.concatenate([em_pos, tp])
+            sstrand = np.concatenate(
+                [em_strand, tail_strand[i][tp - tb]]
+            )
+        else:
+            sx, sy_pos, sstrand = em_x, em_pos, em_strand
+        sy = (
+            (np.uint64(rid) << np.uint64(32))
+            | (sy_pos.astype(np.uint64) << np.uint64(1))
+            | sstrand
+        )
         results.append(
-            native.reduce_and_filter(stream, spec.r, spec.min_span, False)
+            native.reduce_and_filter_arrays(
+                sx, sy, spec.r, spec.min_span, False
+            )
         )
     return results
+
+
+def sketch_mode1(
+    seqs: Sequence[bytes], rids=None, spec: ShmmrSpec = None, chunk: int = 512
+) -> List[List[Tuple[int, int]]]:
+    """Tuple-list variant of sketch_mode1_arrays (legacy callers)."""
+    return [
+        list(zip(xs.tolist(), ys.tolist()))
+        for xs, ys in sketch_mode1_arrays(seqs, rids, spec, chunk)
+    ]
