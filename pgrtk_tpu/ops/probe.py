@@ -105,16 +105,21 @@ def probe_keys(table, q_h0, q_l0, q_h1, q_l1):
     return found, jnp.where(found, row, -1)
 
 
-def build_probe_table_dense(keys: np.ndarray, avg_per_bucket: int = 64):
+def build_probe_table_dense(keys: np.ndarray, avg_per_bucket: int = 32):
     """Two-level fence+probe layout: ~1.0x key-array memory (vs ~2.5x
     for the padded-bucket planes incl. their row plane).
 
     Keys are stored DENSE in key-sorted order as 4 u32 planes reshaped
     to 128-wide rows; a fence array gives each bucket's start offset.
     A probe gathers the bucket's fence, fetches the TWO aligned 128-wide
-    rows covering [start, start+256) — enough for any bucket at
-    lambda=64 (max bucket ~110 at 4M keys) — and compares.  The matched
+    rows covering [start, start+256), and compares.  The matched
     position IS the table row (no row plane at all).
+
+    avg_per_bucket defaults to 32 because canonical pair keys are
+    min(h0, h1): the minimum of two uniforms has density 2x at the low
+    end, so the lowest buckets hold ~2*lambda keys — lambda=32 keeps the
+    worst bucket ~64+noise, comfortably under the 128-slot fetch window
+    (lambda=64 overflowed on a real min-canonicalized key set).
 
     Returns dict(bits, planes 4 x (ceil(N/128)+1, 128) u32, fence
     (2^bits + 1,) i32, n).  Falls back (asserts) if any bucket exceeds
