@@ -185,6 +185,9 @@ def query_e2e_step(
     lookback: int = 32,
     max_span: int = 8,
     unroll: int = 8,
+    max_count: int = 128,
+    max_count_query: int = 128,
+    max_count_target: int = 128,
 ):
     """One full device query step (traceable; callers jit it).
 
@@ -193,6 +196,7 @@ def query_e2e_step(
     overflow () bool, where G = B*C lanes (query b, target sid c) and N
     is the compacted pair capacity.
     """
+    import jax
     import jax.numpy as jnp
 
     B = seqs_u8.shape[0]
@@ -228,9 +232,57 @@ def query_e2e_step(
     slot_valid = (w_end >> 31) != 0
     t_end = w_end & jnp.uint32(0x7FFFFFFF)
 
+    # in-query duplicate-pair count filter (aln.rs:159-228 semantics):
+    # pair_count = occurrences of the pair key within THIS query's pair
+    # list; the hits of a pair are dropped when it exceeds max_count or
+    # max_count_query, and (with the slot-aligned table's per-(key,sid)
+    # multiplicity of 1) the per-target filter reduces to the same
+    # count.  For FOUND pairs row-id equality IS key equality, so the
+    # count is a per-row duplicate count of probe rows: payload-sort the
+    # rows, run lengths via log-shift segment propagation, unsort.
+    count_cap = min(max_count, max_count_query, max_count_target)
+    found2 = found.reshape(B, Pc)
+    rkey = jnp.where(cvalid & found2, row.reshape(B, Pc),
+                     jnp.int32(2**31 - 1))
+    slot_iota = jnp.broadcast_to(
+        jnp.arange(Pc, dtype=jnp.int32)[None, :], (B, Pc)
+    )
+    sr, sperm = jax.lax.sort((rkey, slot_iota), num_keys=1)
+    newseg = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.bool_), sr[:, 1:] != sr[:, :-1]], axis=1
+    )
+    idxp = jnp.arange(Pc, dtype=jnp.int32)[None, :]
+    seg_start = jnp.where(newseg, idxp, 0)
+    seg_end = jnp.where(
+        jnp.concatenate([newseg[:, 1:], jnp.ones((B, 1), jnp.bool_)],
+                        axis=1),
+        idxp, Pc - 1,
+    )
+    d = 1
+    while d < Pc:  # running max / reverse running min (log-shift)
+        seg_start = jnp.maximum(
+            seg_start,
+            jnp.concatenate(
+                [jnp.zeros((B, d), jnp.int32), seg_start[:, :-d]], axis=1
+            ),
+        )
+        seg_end = jnp.minimum(
+            seg_end,
+            jnp.concatenate(
+                [seg_end[:, d:], jnp.full((B, d), Pc - 1, jnp.int32)],
+                axis=1,
+            ),
+        )
+        d *= 2
+    run_len_sorted = seg_end - seg_start + 1
+    # unsort: ascending payload sort by the original slot index
+    _, run_len = jax.lax.sort((sperm, run_len_sorted), num_keys=1)
+    count_ok = run_len <= count_cap
+
     hit = (
         cvalid
-        & found.reshape(B, Pc)
+        & found2
+        & count_ok
     )[:, :, None] & slot_valid  # (B, Pc, C)
 
     def lane(v):  # (B, Pc, C) -> (G, N)

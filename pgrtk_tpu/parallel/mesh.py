@@ -599,6 +599,9 @@ def sharded_query_v2_e2e_step(
     penalty: float = 0.025,
     lookback: int = 32,
     max_span: int = 8,
+    max_count: int = 128,
+    max_count_query: int = 128,
+    max_count_target: int = 128,
     route_capacity: Optional[int] = None,
     compact_kw: Optional[dict] = None,
 ):
@@ -662,13 +665,60 @@ def sharded_query_v2_e2e_step(
         fh1 = q_h1.reshape(-1)
         fl1 = q_l1.reshape(-1)
         fva = cvalid.reshape(-1)
-        w0 = (fh0 << 8) | (fl0 >> 24)  # hash0 >> 24, 32 bits
-        w0 = jnp.where(fva, w0, U32(0xFFFFFFFF))
+        # mask invalid keys on ALL planes and sort by the FULL key
+        # (lexicographic over 4 planes = sorted by hash0's top bits too,
+        # so owner runs stay contiguous); full-key order also makes
+        # duplicate pairs adjacent for the in-query count filter below
+        mh0 = jnp.where(fva, fh0, U32(0xFFFFFFFF))
+        ml0 = jnp.where(fva, fl0, U32(0xFFFFFFFF))
+        mh1 = jnp.where(fva, fh1, U32(0xFFFFFFFF))
+        ml1 = jnp.where(fva, fl1, U32(0xFFFFFFFF))
         idx = jnp.arange(n_loc, dtype=jnp.int32)
-        w0s, perm, sh0, sl0, sh1, sl1 = jax.lax.sort(
-            (w0, idx, fh0, fl0, fh1, fl1), num_keys=1
+        sh0, sl0, sh1, sl1, perm = jax.lax.sort(
+            (mh0, ml0, mh1, ml1, idx), num_keys=4
         )
+        w0s = (sh0 << 8) | (sl0 >> 24)  # hash0 >> 24, 32 bits
         n_valid = fva.sum().astype(jnp.int32)
+
+        # in-query duplicate-pair count filter (aln.rs:159-228): a pair
+        # whose key occurs more than min(max_count, max_count_query,
+        # max_count_target) times in this query's pair list contributes
+        # no hits (per-(key,sid) multiplicity is 1 in the v2 shard, so
+        # the per-target filter reduces to the same count).  Duplicates
+        # are adjacent in full-key order: log-shift run lengths, then
+        # one payload unsort back to original pair positions.
+        count_cap = min(max_count, max_count_query, max_count_target)
+        newseg = jnp.concatenate(
+            [
+                jnp.ones((1,), jnp.bool_),
+                (sh0[1:] != sh0[:-1]) | (sl0[1:] != sl0[:-1])
+                | (sh1[1:] != sh1[:-1]) | (sl1[1:] != sl1[:-1]),
+            ]
+        )
+        iarr = jnp.arange(n_loc, dtype=jnp.int32)
+        seg_start = jnp.where(newseg, iarr, 0)
+        seg_end = jnp.where(
+            jnp.concatenate([newseg[1:], jnp.ones((1,), jnp.bool_)]),
+            iarr, n_loc - 1,
+        )
+        dd = 1
+        while dd < n_loc:
+            seg_start = jnp.maximum(
+                seg_start,
+                jnp.concatenate(
+                    [jnp.zeros((dd,), jnp.int32), seg_start[:-dd]]
+                ),
+            )
+            seg_end = jnp.minimum(
+                seg_end,
+                jnp.concatenate(
+                    [seg_end[dd:], jnp.full((dd,), n_loc - 1, jnp.int32)]
+                ),
+            )
+            dd *= 2
+        rl_sorted = seg_end - seg_start + 1
+        _, run_len = jax.lax.sort((perm, rl_sorted), num_keys=1)
+        count_ok = (run_len <= count_cap).reshape(B_loc, Pc)
         per = jnp.uint32(((1 << 24) // n_dev) << 8)
         bounds = jnp.arange(1, n_dev, dtype=jnp.uint32) * per
         offs = jnp.searchsorted(w0s, bounds).astype(jnp.int32)
@@ -762,7 +812,7 @@ def sharded_query_v2_e2e_step(
         t_ori = hb >> 31
         t_bgn = hb & U32(0x7FFFFFFF)
         t_end = he & U32(0x7FFFFFFF)
-        hitmask = cvalid[:, :, None] & slot_valid
+        hitmask = (cvalid & count_ok)[:, :, None] & slot_valid
 
         def lane(v):
             return v.transpose(0, 2, 1).reshape(B_loc * C, Pc)

@@ -448,3 +448,78 @@ def test_sharded_e2e_query_content_matches_host_pipeline():
                     assert htr == dtr
                 n_checked += 1
     assert n_checked == B * B  # every (query, target) group had chains
+
+
+def test_sharded_e2e_count_filter_binds():
+    """Queries with tandem-duplicated blocks carry duplicate pair keys;
+    the sharded e2e step's in-query count filter must drop their hits
+    exactly like the host pipeline at max_count=1."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import query_e2e
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    B, L = 8, 16384
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    corpus = np.stack([base.copy() for _ in range(B)])
+    for b in range(B):
+        n = rng.binomial(L, 3e-4)
+        pos = rng.choice(L, size=n, replace=False)
+        corpus[b, pos] = (corpus[b, pos] + rng.integers(1, 4, size=n)) % 4
+    # query batch: middle block tandem-duplicated => duplicate pairs
+    queries = np.stack(
+        [
+            np.concatenate([q[:8192], q[4096:8192], q[8192:12288]])
+            for q in corpus
+        ]
+    )
+    LQ = queries.shape[1]
+
+    mesh = pmesh.make_mesh(8)
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis, None))
+    shard1 = NamedSharding(mesh, P(axis))
+    c_d = jax.device_put(jnp.asarray(corpus), shard)
+    cl_d = jax.device_put(jnp.full(B, L, jnp.int32), shard1)
+    rids_d = jax.device_put(jnp.arange(B, dtype=jnp.uint32), shard1)
+    q_d = jax.device_put(jnp.asarray(queries), shard)
+    ql_d = jax.device_put(jnp.full(B, LQ, jnp.int32), shard1)
+
+    cap = 4096
+    v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(c_d, cl_d, rids_d)
+    assert not bool(v2["shard_overflow"])
+    e2e = pmesh.sharded_query_v2_e2e_step(
+        mesh, cap, n_targets=B, slots2=96, max_count=1
+    )(q_d, ql_d, rids_d, *v2["probe"]["planes"])
+    assert not bool(e2e["multi_overflow"])
+    anchors = np.asarray(e2e["anchors"])
+    gvalid = np.asarray(e2e["gvalid"])
+
+    idx = query_e2e.build_synth_index(corpus, n_decoys=0)
+    lookup = idx["lookup"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    BASES = b"ACGT"
+    n_bound = 0
+    for b in range(B):
+        qbytes = bytes(bytearray(BASES[v] for v in queries[b]))
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []), qbytes, spec
+        )
+        th1 = query_mod.collect_target_hits(raw, max_count=1)
+        th_all = query_mod.collect_target_hits(raw)
+        if sum(len(v) for v in th1.values()) < sum(
+            len(v) for v in th_all.values()
+        ):
+            n_bound += 1
+        for c in range(B):
+            g = b * B + c
+            dev = [tuple(int(v) for v in row)
+                   for row in anchors[g][gvalid[g]]]
+            host = [(*lft, *t) for lft, t in th1.get(c, [])]
+            assert dev == host, f"b={b} sid={c}"
+    assert n_bound == B  # every query had duplicate pairs to drop

@@ -150,3 +150,74 @@ def test_anchor_sets_match_host_collect(synth):
             ]
             host = [(*l, *t) for l, t in th.get(c, [])]
             assert dev == host, f"anchor mismatch b={b} sid={c}"
+
+
+def test_in_query_duplicate_pair_count_filter():
+    """A query with a tandem-duplicated block carries duplicate pair
+    keys; with max_count=1 the host pipeline drops their hits and the
+    device path must match exactly (and still match at the default 128
+    where the filter does not bind)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import query_e2e
+
+    rng = np.random.default_rng(9)
+    L, T = 16384, 3
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    targets = np.stack([_mutate(base, 2e-4, rng) for _ in range(T)])
+    # query: mutated copy with the middle 4 kb tandem-duplicated
+    q = _mutate(base, 2e-4, rng)
+    q = np.concatenate([q[:8192], q[4096:8192], q[8192:12288]])
+    queries = q[None, :]
+    B, LQ = queries.shape
+
+    idx = query_e2e.build_synth_index(targets, n_decoys=500, seed=4)
+    probe = idx["probe"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    lookup = idx["lookup"]
+
+    raw = query_mod.raw_query_fragment(
+        lambda s0, s1: lookup.get((s0, s1), []), _to_bytes(q), spec
+    )
+    # the duplicated block must actually produce duplicate pairs
+    from collections import Counter
+
+    counts = Counter(pair for pair, _p, sigs in raw if sigs)
+    assert max(counts.values()) >= 2
+
+    for mc in (1, 128):
+        res = jax.jit(
+            query_e2e.query_e2e_step,
+            static_argnames=(
+                "probe_bits", "C", "max_count", "max_count_query",
+                "max_count_target",
+            ),
+        )(
+            queries,
+            jnp.full((B,), LQ, jnp.int32),
+            probe["bits"],
+            [jnp.asarray(probe["planes"][i]) for i in range(4)],
+            jnp.asarray(probe["fence"]),
+            jnp.asarray(idx["postings"]),
+            T,
+            max_count=mc,
+        )
+        anchors = np.asarray(res["anchors"])
+        gvalid = np.asarray(res["gvalid"])
+        th = query_mod.collect_target_hits(raw, max_count=mc)
+        for c in range(T):
+            dev = [
+                tuple(int(v) for v in rrow)
+                for rrow in anchors[c][gvalid[c]]
+            ]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host, f"sid={c} max_count={mc}"
+        if mc == 1:
+            n_all = sum(len(v) for v in query_mod.collect_target_hits(
+                raw
+            ).values())
+            n_f = sum(len(v) for v in th.values())
+            assert n_f < n_all  # the filter actually bound
