@@ -93,7 +93,7 @@ def _run_length_planes(match: jnp.ndarray, L: int) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "L", "S_max", "max_wf_length", "x", "o", "e", "band_w", "band_l"
+        "L", "S_max", "max_wf_length", "x", "o", "e", "band_l"
     ),
 )
 def wfa_forward_batch(
@@ -107,7 +107,6 @@ def wfa_forward_batch(
     x: int = 3,
     o: int = 3,
     e: int = 1,
-    band_w: int = 512,
     band_l: int = 512,
 ):
     """Forward WFA over G segment pairs.
@@ -137,7 +136,6 @@ def wfa_forward_batch(
     """
     G = t_batch.shape[0]
     D = 2 * L
-    W = min(band_w, D)
     Lb = min(band_l, L)
     karr = jnp.arange(D, dtype=jnp.int32) - L  # absolute diagonal per slot
 
