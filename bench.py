@@ -155,7 +155,7 @@ def worker(out_path: str):
     # 4x more (query, target) chain lanes fill the VPU's 128-lane axis
     # (measured: G=256/N=1344 runs the chain scan 2.4x faster than
     # G=64/N=5376 for the same anchor count)
-    QCHUNK = 4
+    QCHUNK = 8
     queries = np.stack([mutate(prng) for _ in range(B)]).reshape(
         B * QCHUNK, L // QCHUNK
     )
