@@ -151,11 +151,12 @@ def worker(out_path: str):
         return out
 
     targets = np.stack([mutate(prng) for _ in range(C)])
-    # queries: the same haplotype content cut into 256 kb contig chunks —
-    # 4x more (query, target) chain lanes fill the VPU's 128-lane axis
-    # (measured: G=256/N=1344 runs the chain scan 2.4x faster than
-    # G=64/N=5376 for the same anchor count)
-    QCHUNK = 8
+    # queries: the same haplotype content cut into 64 kb ROI-scale
+    # chunks — more (query, target) chain lanes fill the VPU's 128-lane
+    # axis (measured sweep at equal total bases: QCHUNK=4/8/16/32 ->
+    # query 1271/1360/1419/788 Mb/s; 32 loses to pair-extract padding
+    # waste and doubled probe slots)
+    QCHUNK = 16
     queries = np.stack([mutate(prng) for _ in range(B)]).reshape(
         B * QCHUNK, L // QCHUNK
     )
