@@ -122,15 +122,21 @@ def build_probe_table_dense(keys: np.ndarray, avg_per_bucket: int = 32):
     (lambda=64 overflowed on a real min-canonicalized key set).
 
     Returns dict(bits, planes 4 x (ceil(N/128)+1, 128) u32, fence
-    (2^bits + 1,) i32, n).  Falls back (asserts) if any bucket exceeds
-    128 - impossible-in-practice for uniform Wang-hash keys.
+    (2^bits + 1,) i32, n).  Raises ValueError if any bucket exceeds the
+    128-slot fetch window — callers fall back to build_probe_table.
     """
     n = len(keys)
     bits = max(1, int(np.ceil(np.log2(max(2, n / avg_per_bucket)))))
     shift = np.uint64(HASH_BITS - bits)
     bucket = (keys[:, 0] >> shift).astype(np.int64)
     counts = np.bincount(bucket, minlength=1 << bits)
-    assert counts.max() <= 128, "bucket overflow; use build_probe_table"
+    if counts.max() > 128:
+        # raise (not assert: python -O must not strip it) — callers fall
+        # back to build_probe_table, which widens W until buckets fit
+        raise ValueError(
+            f"dense probe bucket overflow (max {int(counts.max())} > 128);"
+            " use build_probe_table"
+        )
     nb = 1 << bits
     fence = np.zeros(nb + 1, dtype=np.int32)
     np.cumsum(counts, out=fence[1:])

@@ -168,6 +168,70 @@ def build_synth_index(
     )
 
 
+def dup_pair_counts(k_planes, valid):
+    """Per-QUERY duplicate-pair counts: for every (B, Pc) slot, how many
+    times its 4-u32-plane pair key occurs among the same row's valid
+    slots (aln.rs's pair_count over one query's pair list).  Sort each
+    row by key with the slot index as payload, run lengths via log-shift
+    segment propagation, unsort.  Invalid slots count in their own
+    all-ones segment (masked by validity downstream).
+
+    Used by both the single-chip (ops/query_e2e.py) and the sharded
+    (parallel/mesh.py) end-to-end query steps — the count must be per
+    query row, NOT across the local batch (a cross-query count merges
+    duplicate runs from different queries and over-filters).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, Pc = valid.shape
+    FF = jnp.uint32(0xFFFFFFFF)
+    mk = [jnp.where(valid, p, FF) for p in k_planes]
+    slot_iota = jnp.broadcast_to(
+        jnp.arange(Pc, dtype=jnp.int32)[None, :], (B, Pc)
+    )
+    s0, s1, s2, s3, sperm = jax.lax.sort(
+        (mk[0], mk[1], mk[2], mk[3], slot_iota), num_keys=4
+    )
+    newseg = jnp.concatenate(
+        [
+            jnp.ones((B, 1), jnp.bool_),
+            (s0[:, 1:] != s0[:, :-1]) | (s1[:, 1:] != s1[:, :-1])
+            | (s2[:, 1:] != s2[:, :-1]) | (s3[:, 1:] != s3[:, :-1]),
+        ],
+        axis=1,
+    )
+    idxp = jnp.broadcast_to(
+        jnp.arange(Pc, dtype=jnp.int32)[None, :], (B, Pc)
+    )
+    seg_start = jnp.where(newseg, idxp, 0)
+    seg_end = jnp.where(
+        jnp.concatenate(
+            [newseg[:, 1:], jnp.ones((B, 1), jnp.bool_)], axis=1
+        ),
+        idxp, Pc - 1,
+    )
+    d = 1
+    while d < Pc:
+        seg_start = jnp.maximum(
+            seg_start,
+            jnp.concatenate(
+                [jnp.zeros((B, d), jnp.int32), seg_start[:, :-d]], axis=1
+            ),
+        )
+        seg_end = jnp.minimum(
+            seg_end,
+            jnp.concatenate(
+                [seg_end[:, d:], jnp.full((B, d), Pc - 1, jnp.int32)],
+                axis=1,
+            ),
+        )
+        d *= 2
+    rl_sorted = seg_end - seg_start + 1
+    _, run_len = jax.lax.sort((sperm, rl_sorted), num_keys=1)
+    return run_len
+
+
 def query_e2e_step(
     seqs_u8,
     lens,
@@ -236,47 +300,10 @@ def query_e2e_step(
     # pair_count = occurrences of the pair key within THIS query's pair
     # list; the hits of a pair are dropped when it exceeds max_count or
     # max_count_query, and (with the slot-aligned table's per-(key,sid)
-    # multiplicity of 1) the per-target filter reduces to the same
-    # count.  For FOUND pairs row-id equality IS key equality, so the
-    # count is a per-row duplicate count of probe rows: payload-sort the
-    # rows, run lengths via log-shift segment propagation, unsort.
+    # multiplicity of 1) the per-target filter reduces to the same count.
     count_cap = min(max_count, max_count_query, max_count_target)
     found2 = found.reshape(B, Pc)
-    rkey = jnp.where(cvalid & found2, row.reshape(B, Pc),
-                     jnp.int32(2**31 - 1))
-    slot_iota = jnp.broadcast_to(
-        jnp.arange(Pc, dtype=jnp.int32)[None, :], (B, Pc)
-    )
-    sr, sperm = jax.lax.sort((rkey, slot_iota), num_keys=1)
-    newseg = jnp.concatenate(
-        [jnp.ones((B, 1), jnp.bool_), sr[:, 1:] != sr[:, :-1]], axis=1
-    )
-    idxp = jnp.arange(Pc, dtype=jnp.int32)[None, :]
-    seg_start = jnp.where(newseg, idxp, 0)
-    seg_end = jnp.where(
-        jnp.concatenate([newseg[:, 1:], jnp.ones((B, 1), jnp.bool_)],
-                        axis=1),
-        idxp, Pc - 1,
-    )
-    d = 1
-    while d < Pc:  # running max / reverse running min (log-shift)
-        seg_start = jnp.maximum(
-            seg_start,
-            jnp.concatenate(
-                [jnp.zeros((B, d), jnp.int32), seg_start[:, :-d]], axis=1
-            ),
-        )
-        seg_end = jnp.minimum(
-            seg_end,
-            jnp.concatenate(
-                [seg_end[:, d:], jnp.full((B, d), Pc - 1, jnp.int32)],
-                axis=1,
-            ),
-        )
-        d *= 2
-    run_len_sorted = seg_end - seg_start + 1
-    # unsort: ascending payload sort by the original slot index
-    _, run_len = jax.lax.sort((sperm, run_len_sorted), num_keys=1)
+    run_len = dup_pair_counts((q_h0, q_l0, q_h1, q_l1), cvalid)
     count_ok = run_len <= count_cap
 
     hit = (

@@ -107,7 +107,7 @@ def wfa_forward_batch(
     x: int = 3,
     o: int = 3,
     e: int = 1,
-    band_l: int = 512,
+    band_l: int = 0,  # 0 = no banding (any value >= L is equivalent)
 ):
     """Forward WFA over G segment pairs.
 
@@ -136,7 +136,7 @@ def wfa_forward_batch(
     """
     G = t_batch.shape[0]
     D = 2 * L
-    Lb = min(band_l, L)
+    Lb = min(band_l, L) if band_l > 0 else L
     karr = jnp.arange(D, dtype=jnp.int32) - L  # absolute diagonal per slot
 
     # ---- match run-length planes (the entire extend step, precomputed)

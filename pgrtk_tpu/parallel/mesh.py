@@ -667,8 +667,7 @@ def sharded_query_v2_e2e_step(
         fva = cvalid.reshape(-1)
         # mask invalid keys on ALL planes and sort by the FULL key
         # (lexicographic over 4 planes = sorted by hash0's top bits too,
-        # so owner runs stay contiguous); full-key order also makes
-        # duplicate pairs adjacent for the in-query count filter below
+        # so owner runs stay contiguous)
         mh0 = jnp.where(fva, fh0, U32(0xFFFFFFFF))
         ml0 = jnp.where(fva, fl0, U32(0xFFFFFFFF))
         mh1 = jnp.where(fva, fh1, U32(0xFFFFFFFF))
@@ -682,43 +681,16 @@ def sharded_query_v2_e2e_step(
 
         # in-query duplicate-pair count filter (aln.rs:159-228): a pair
         # whose key occurs more than min(max_count, max_count_query,
-        # max_count_target) times in this query's pair list contributes
-        # no hits (per-(key,sid) multiplicity is 1 in the v2 shard, so
-        # the per-target filter reduces to the same count).  Duplicates
-        # are adjacent in full-key order: log-shift run lengths, then
-        # one payload unsort back to original pair positions.
+        # max_count_target) times in ITS OWN query's pair list
+        # contributes no hits (per-(key,sid) multiplicity is 1 in the v2
+        # shard, so the per-target filter reduces to the same count).
+        # Counted per query ROW via the shared helper — a flat count
+        # over the local batch would merge duplicate runs from
+        # different queries and over-filter (round-3 review finding).
+        from ..ops.query_e2e import dup_pair_counts
         count_cap = min(max_count, max_count_query, max_count_target)
-        newseg = jnp.concatenate(
-            [
-                jnp.ones((1,), jnp.bool_),
-                (sh0[1:] != sh0[:-1]) | (sl0[1:] != sl0[:-1])
-                | (sh1[1:] != sh1[:-1]) | (sl1[1:] != sl1[:-1]),
-            ]
-        )
-        iarr = jnp.arange(n_loc, dtype=jnp.int32)
-        seg_start = jnp.where(newseg, iarr, 0)
-        seg_end = jnp.where(
-            jnp.concatenate([newseg[1:], jnp.ones((1,), jnp.bool_)]),
-            iarr, n_loc - 1,
-        )
-        dd = 1
-        while dd < n_loc:
-            seg_start = jnp.maximum(
-                seg_start,
-                jnp.concatenate(
-                    [jnp.zeros((dd,), jnp.int32), seg_start[:-dd]]
-                ),
-            )
-            seg_end = jnp.minimum(
-                seg_end,
-                jnp.concatenate(
-                    [seg_end[dd:], jnp.full((dd,), n_loc - 1, jnp.int32)]
-                ),
-            )
-            dd *= 2
-        rl_sorted = seg_end - seg_start + 1
-        _, run_len = jax.lax.sort((perm, rl_sorted), num_keys=1)
-        count_ok = (run_len <= count_cap).reshape(B_loc, Pc)
+        run_len = dup_pair_counts((q_h0, q_l0, q_h1, q_l1), cvalid)
+        count_ok = run_len <= count_cap
         per = jnp.uint32(((1 << 24) // n_dev) << 8)
         bounds = jnp.arange(1, n_dev, dtype=jnp.uint32) * per
         offs = jnp.searchsorted(w0s, bounds).astype(jnp.int32)

@@ -16,10 +16,16 @@ import struct
 
 GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+OP_CONT = 0x0
 OP_TEXT = 0x1
 OP_CLOSE = 0x8
 OP_PING = 0x9
 OP_PONG = 0xA
+
+# ROI prefixes are tiny; a client-claimed length beyond this is abusive
+# (the 64-bit length field would otherwise make rfile.read try to buffer
+# whatever the client claims)
+MAX_FRAME = 1 << 20
 
 
 def accept_key(client_key: str) -> str:
@@ -28,12 +34,14 @@ def accept_key(client_key: str) -> str:
 
 
 def read_frame(rfile):
-    """Read one frame; returns (opcode, payload) or None on EOF/close.
+    """Read one frame; returns (fin, opcode, payload) or None on
+    EOF/close/oversize.
     Client->server frames are always masked (RFC 6455 §5.1)."""
     hdr = rfile.read(2)
     if len(hdr) < 2:
         return None
     b0, b1 = hdr[0], hdr[1]
+    fin = bool(b0 & 0x80)
     opcode = b0 & 0x0F
     masked = bool(b1 & 0x80)
     ln = b1 & 0x7F
@@ -47,13 +55,15 @@ def read_frame(rfile):
         if len(ext) < 8:
             return None
         ln = struct.unpack(">Q", ext)[0]
+    if ln > MAX_FRAME:
+        return None  # protocol abuse: drop the connection
     mask = rfile.read(4) if masked else b"\x00" * 4
     payload = rfile.read(ln)
     if masked:
         payload = bytes(
             c ^ mask[i & 3] for i, c in enumerate(payload)
         )
-    return opcode, payload
+    return fin, opcode, payload
 
 
 def write_frame(wfile, payload: bytes, opcode: int = OP_TEXT):
@@ -88,13 +98,16 @@ def handshake(handler) -> bool:
 
 def serve_text(handler, respond):
     """Text echo loop: for each client text message call respond(text)
-    and send its return value back; handle ping/close per the RFC.
-    Mirrors ws_handle_socket (pgr-server/src/main.rs:219-255)."""
+    and send its return value back; handle ping/close and FIN=0
+    fragmentation (continuation frames reassemble, bounded by
+    MAX_FRAME) per the RFC.  Mirrors ws_handle_socket
+    (pgr-server/src/main.rs:219-255)."""
+    frag = None  # pending fragmented text message
     while True:
         frame = read_frame(handler.rfile)
         if frame is None:
             return
-        opcode, payload = frame
+        fin, opcode, payload = frame
         if opcode == OP_CLOSE:
             try:
                 write_frame(handler.wfile, payload[:2], OP_CLOSE)
@@ -104,7 +117,20 @@ def serve_text(handler, respond):
         if opcode == OP_PING:
             write_frame(handler.wfile, payload, OP_PONG)
             continue
-        if opcode != OP_TEXT:
+        if opcode == OP_TEXT and not fin:
+            frag = bytearray(payload)
+            continue
+        if opcode == OP_CONT:
+            if frag is None:
+                return  # protocol violation
+            frag.extend(payload)
+            if len(frag) > MAX_FRAME:
+                return
+            if not fin:
+                continue
+            payload = bytes(frag)
+            frag = None
+        elif opcode != OP_TEXT:
             write_frame(handler.wfile, b"{}")
             continue
         out = respond(payload.decode("utf-8", "replace"))

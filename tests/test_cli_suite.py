@@ -322,8 +322,23 @@ def test_pgr_shmmr_pair_count_cli(tmp_path, test_data_dir):
         [prefix, "-o", str(out), "-m", "2"]
     ) == 0
     lines = out.read_text().splitlines()
-    assert len(lines) > 10
-    # every indexed key appears once, with a plausible source count
-    for l in lines[:20]:
-        k0, k1, n = l.split()
-        assert int(n) >= 0
+    # independent re-derivation: counts must equal a direct pass over
+    # the .mdb postings with the .midx sid->source mapping
+    from pgrtk_tpu.core import mdb as mdb_mod
+
+    _spec, fm = mdb_mod.read_mdb(prefix + ".mdb")
+    sid_src = {}
+    srcs = {}
+    with open(prefix + ".midx") as f:
+        for line in f:
+            sid_s, _l, _c, source = line.rstrip("\n").split("\t")
+            srcs.setdefault(source, len(srcs))
+            sid_src[int(sid_s)] = srcs[source]
+    expected = []
+    for key in sorted(fm):
+        cnt = {}
+        for _fid, sid, _b, _e, _o in fm[key]:
+            cnt[sid_src[sid]] = cnt.get(sid_src[sid], 0) + 1
+        n = sum(1 for v in cnt.values() if v <= 2)
+        expected.append(f"{key[0]} {key[1]} {n}")
+    assert lines == expected

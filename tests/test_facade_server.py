@@ -223,3 +223,66 @@ def test_websocket_roi_autocomplete():
     finally:
         sm.Handler.rois = []
         srv.shutdown()
+
+
+def test_websocket_fragmentation_and_length_cap():
+    """FIN=0 text + continuation frames reassemble into one prefix
+    query; a frame claiming an abusive length drops the connection
+    instead of buffering it."""
+    import base64
+    import http.server
+    import socket
+    import struct
+
+    from pgrtk_tpu.server import main as sm
+
+    sm.Handler.rois = {"AMY1A": {"ctg": "c1"}, "AMY2B": {"ctg": "c2"}}
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), sm.Handler)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    def connect():
+        sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        key = base64.b64encode(b"0123456789abcdef").decode()
+        sock.sendall(
+            (
+                "GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n\r\n"
+            ).encode()
+        )
+        f = sock.makefile("rb")
+        while f.readline().strip():
+            pass
+        return sock, f
+
+    def masked(txt, fin, opcode):
+        payload = txt.encode()
+        mask = b"\x01\x02\x03\x04"
+        body = bytes(c ^ mask[i & 3] for i, c in enumerate(payload))
+        b0 = (0x80 if fin else 0) | opcode
+        return bytes([b0, 0x80 | len(payload)]) + mask + body
+
+    try:
+        sock, f = connect()
+        # "AM" + "Y1" as two fragments -> one "AMY1" prefix query
+        sock.sendall(masked("AM", fin=False, opcode=1))
+        sock.sendall(masked("Y1", fin=True, opcode=0))
+        b0, b1 = f.read(2)
+        ln = b1 & 0x7F
+        if ln == 126:
+            ln = struct.unpack(">H", f.read(2))[0]
+        res = json.loads(f.read(ln))
+        assert list(res) == ["AMY1A"]
+        sock.close()
+
+        # oversize length claim: server must close, not buffer
+        sock, f = connect()
+        hdr = bytes([0x81, 0x80 | 127]) + struct.pack(">Q", 1 << 40)
+        sock.sendall(hdr + b"\x00\x00\x00\x00")
+        assert f.read(2) == b""  # connection closed
+        sock.close()
+    finally:
+        sm.Handler.rois = []
+        srv.shutdown()

@@ -523,3 +523,72 @@ def test_sharded_e2e_count_filter_binds():
             host = [(*lft, *t) for lft, t in th1.get(c, [])]
             assert dev == host, f"b={b} sid={c}"
     assert n_bound == B  # every query had duplicate pairs to drop
+
+
+def test_sharded_count_filter_is_per_query_at_b_loc_2():
+    """Regression (round-3 review): with more queries than devices
+    (B_loc > 1), the in-query duplicate-pair count must NOT merge runs
+    across the queries sharing a device — two queries each carrying a
+    duplicated block stay under a cap that their merged counts would
+    exceed."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import query_e2e
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    B, L = 8, 16384
+    rng = np.random.default_rng(33)
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    corpus = np.stack([base.copy() for _ in range(B)])
+    for b in range(B):
+        n = rng.binomial(L, 3e-4)
+        pos = rng.choice(L, size=n, replace=False)
+        corpus[b, pos] = (corpus[b, pos] + rng.integers(1, 4, size=n)) % 4
+    # every query: ONE duplicated block => per-query pair count 2; a
+    # cross-query count on a 2-query device would see 4 > cap=3
+    queries = np.stack(
+        [
+            np.concatenate([q[:8192], q[4096:8192], q[8192:12288]])
+            for q in corpus
+        ]
+    )
+    LQ = queries.shape[1]
+
+    mesh = pmesh.make_mesh(4)  # 8 queries over 4 devices -> B_loc = 2
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis, None))
+    shard1 = NamedSharding(mesh, P(axis))
+    c_d = jax.device_put(jnp.asarray(corpus), shard)
+    cl_d = jax.device_put(jnp.full(B, L, jnp.int32), shard1)
+    rids_d = jax.device_put(jnp.arange(B, dtype=jnp.uint32), shard1)
+    q_d = jax.device_put(jnp.asarray(queries), shard)
+    ql_d = jax.device_put(jnp.full(B, LQ, jnp.int32), shard1)
+
+    cap = 8192
+    v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(c_d, cl_d, rids_d)
+    e2e = pmesh.sharded_query_v2_e2e_step(
+        mesh, cap, n_targets=B, slots2=96, max_count=3
+    )(q_d, ql_d, rids_d, *v2["probe"]["planes"])
+    anchors = np.asarray(e2e["anchors"])
+    gvalid = np.asarray(e2e["gvalid"])
+
+    idx = query_e2e.build_synth_index(corpus, n_decoys=0)
+    lookup = idx["lookup"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    BASES = b"ACGT"
+    for b in range(B):
+        qbytes = bytes(bytearray(BASES[v] for v in queries[b]))
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []), qbytes, spec
+        )
+        th = query_mod.collect_target_hits(raw, max_count=3)
+        for c in range(B):
+            g = b * B + c
+            dev = [tuple(int(v) for v in row)
+                   for row in anchors[g][gvalid[g]]]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host, f"b={b} sid={c}"
