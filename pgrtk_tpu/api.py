@@ -248,6 +248,19 @@ class SeqIndexDB:
         max_gap: Optional[int] = None,
         oriented: bool = False,
     ):
+        store = (
+            self.frg_db if self.backend == Backend.FRG
+            else self.agc_db if self.backend == Backend.AGC
+            else None
+        )
+        if store is not None:
+            # columnar fast path: zero per-signature Python (bit-identical
+            # output; core/query.py:query_fragment_to_hps_columnar)
+            return query_mod.query_fragment_to_hps_columnar(
+                store, seq, self.shmmr_spec, penalty,
+                max_count, max_count_query, max_count_target,
+                max_aln_span, max_gap, oriented,
+            )
         raw = query_mod.raw_query_fragment(self._lookup_fn(), seq, self.shmmr_spec)
         return query_mod.query_fragment_to_hps(
             raw,

@@ -55,6 +55,7 @@ class FragFileStorage:
             self.seq_index[(name, source)] = (sid, slen)
             self.seq_info[sid] = (name, source, slen)
         self._group_cache: Dict[int, list] = {}
+        self._seq_off_cache: Dict[int, "np.ndarray"] = {}
 
     # ------------------------------------------------------------------
     def _fetch_group(self, gid: int) -> list:
@@ -64,7 +65,9 @@ class FragFileStorage:
         offset, size, _ = self.frag_addr_offsets[gid]
         raw = self.frg_data[7 + offset : 7 + offset + size]
         frags = bincodec.read_fragments(zlib.decompress(raw, -15))
-        if len(self._group_cache) > 64:
+        # ~512 groups x 256 frags ~ 64 MB: covers a whole multi-region
+        # query working set (64 thrashed on 50-target region fetches)
+        if len(self._group_cache) > 512:
             self._group_cache.clear()
         self._group_cache[gid] = frags
         return frags
@@ -103,26 +106,46 @@ class FragFileStorage:
         assert len(out) == slen, (len(out), slen)
         return out
 
-    def get_sub_seq_by_id(self, sid: int, bgn: int, end: int) -> bytes:
+    def _frag_offsets(self, sid: int):
+        """Cumulative reconstructed-base offsets of a sequence's
+        fragments (n+1 entries), cached per sid: random sub-range access
+        then touches ONLY the fragment groups overlapping the range
+        (reference: frag_file_io.rs:182-228 random access by chunk
+        ranges) instead of decoding the whole sequence per fetch."""
+        import numpy as np
+
+        cached = self._seq_off_cache.get(sid)
+        if cached is not None:
+            return cached
         _src, _name, _id, (start, n), _slen = self.seqs[sid]
         k = self.spec.k
-        base_offset = 0
-        parts = []
-        first_off = None
-        for fid in range(start, start + n):
-            frag = self._get_frag(fid)
-            flen = _frag_base_len(frag, k)
-            if (
-                (base_offset <= bgn < base_offset + flen)
-                or (base_offset <= end < base_offset + flen)
-                or (bgn <= base_offset and base_offset + flen <= end)
-            ):
-                if first_off is None:
-                    first_off = base_offset
-                parts.append(self._frag_bases(frag))
-            base_offset += flen
+        offs = np.zeros(n + 1, dtype=np.int64)
+        for j, fid in enumerate(range(start, start + n)):
+            offs[j + 1] = offs[j] + _frag_base_len(self._get_frag(fid), k)
+        if len(self._seq_off_cache) > 4096:
+            self._seq_off_cache.clear()
+        self._seq_off_cache[sid] = offs
+        return offs
+
+    def get_sub_seq_by_id(self, sid: int, bgn: int, end: int) -> bytes:
+        import numpy as np
+
+        _src, _name, _id, (start, n), _slen = self.seqs[sid]
+        offs = self._frag_offsets(sid)
+        if n == 0 or end <= bgn:
+            return b""
+        # fragments overlapping [bgn, end): binary search the offsets
+        first = max(0, int(np.searchsorted(offs, bgn, side="right")) - 1)
+        last = max(
+            first, int(np.searchsorted(offs, max(end - 1, bgn), side="right")) - 1
+        )
+        last = min(last, n - 1)
+        parts = [
+            self._frag_bases(self._get_frag(start + j))
+            for j in range(first, last + 1)
+        ]
         rec = b"".join(parts)
-        offset = bgn - (first_off or 0)
+        offset = bgn - int(offs[first])
         return rec[offset : offset + (end - bgn)]
 
 

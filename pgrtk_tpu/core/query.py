@@ -133,6 +133,169 @@ def collect_target_hits(
     return target_hits
 
 
+def _store_ckeys(store):
+    """Cached combined lexicographic keys for a columnar store (the
+    per-call rebuild in api._columnar_lookup costs O(n_keys) per
+    query — measurable at pangenome scale)."""
+    ck = getattr(store, "_pair_ckeys", None)
+    if ck is None:
+        from ..utils.u64pair import pair_ckeys
+
+        ck = pair_ckeys(store.index_keys)
+        store._pair_ckeys = ck
+    return ck
+
+
+def query_fragment_to_hps_columnar(
+    store,
+    query_seq: bytes,
+    spec: ShmmrSpec,
+    penalty: float,
+    max_count: Optional[int] = None,
+    max_count_query: Optional[int] = None,
+    max_count_target: Optional[int] = None,
+    max_aln_span: Optional[int] = None,
+    max_gap: Optional[int] = None,
+    oriented: bool = False,
+    as_arrays: bool = False,
+):
+    """query_fragment_to_hps over a columnar FRG/PGA store with ZERO
+    per-signature Python: sketch -> pair arrays -> one searchsorted ->
+    vectorized postings expansion (repeat/cumsum block gather) ->
+    vectorized count filters -> per-target anchor ARRAYS straight into
+    the native chain DP.  Bit-identical output to the tuple path (same
+    semantics as aln.rs:147-242); the tuple path's dict/list loops cost
+    ~10 us/signature and dominated 50-Mbase CLI queries.
+
+    Count-filter equivalences (exact): pair_count is per pair KEY over
+    the whole query (np.unique on combined keys); target_pair_count for
+    a surviving key equals its kept-hit count per sid because the
+    max_count filter keeps or drops ALL occurrences of a key together.
+    """
+    from . import sketch as sketch_mod
+    from ..native import api as native
+    from ..utils.u64pair import cols_ckeys
+
+    mx, my = sketch_mod.sequence_to_shmmrs_arrays(0, query_seq, spec, False)
+    if len(mx) < 2:
+        return []
+    h = mx >> np.uint64(8)
+    p = ((my & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(np.int64) + 1
+    s0, s1 = h[:-1], h[1:]
+    swap = s0 >= s1  # query tie-break: strict `<` (seq_db.rs:1213)
+    k0 = np.where(swap, s1, s0)
+    k1 = np.where(swap, s0, s1)
+    q_bgn = p[:-1].astype(np.uint32)
+    q_end = p[1:].astype(np.uint32)
+    q_ori = swap.astype(np.uint32)
+
+    cq = cols_ckeys(k0, k1)
+    _u, inv, cnts = np.unique(cq, return_inverse=True, return_counts=True)
+    pcount = cnts[inv]
+    mc = 128 if max_count is None else max_count
+    mcq = 128 if max_count_query is None else max_count_query
+    mct = 128 if max_count_target is None else max_count_target
+    keep = ~((pcount > mc) | (pcount > mcq))
+
+    ckeys = _store_ckeys(store)
+    n_keys = len(ckeys)
+    if n_keys == 0:
+        return []
+    js = np.searchsorted(ckeys, cq, side="left")
+    js_c = np.minimum(js, n_keys - 1)
+    found = (js < n_keys) & (ckeys[js_c] == cq)
+    sel = np.flatnonzero(keep & found)
+    if sel.size == 0:
+        return []
+    js_s = js[sel].astype(np.int64)
+    c_i = store.index_counts[js_s].astype(np.int64)
+    s_i = store.index_starts[js_s].astype(np.int64)
+    H = int(c_i.sum())
+    if H == 0:
+        return []
+    reps = np.repeat(np.arange(len(js_s)), c_i)
+    offs = np.zeros(len(js_s), dtype=np.int64)
+    np.cumsum(c_i[:-1], out=offs[1:])
+    sigs = store.index_sigs
+    if isinstance(sigs, np.ndarray):
+        rows = s_i[reps] + (np.arange(H, dtype=np.int64) - offs[reps])
+        sg = sigs[rows]  # structured: frg_id,seq_id,bgn,end,orientation
+    else:
+        # lazy mmap store (core/mdb.py MdbLazy): postings page in as
+        # contiguous per-key block slices
+        sg = np.concatenate(
+            [
+                np.asarray(sigs[int(a): int(a) + int(c)])
+                for a, c in zip(s_i, c_i)
+            ]
+        )
+    sid = sg["seq_id"].astype(np.int64)
+
+    # per-(key, sid) count over this query's hits (== the reference's
+    # target_pair_count for every surviving key; see docstring)
+    comb = js_s[reps] * (sid.max() + 1) + sid
+    _u2, inv2, c2 = np.unique(comb, return_inverse=True, return_counts=True)
+    tok = c2[inv2] <= mct
+    anchors = np.empty((H, 6), dtype=np.uint32)
+    anchors[:, 0] = q_bgn[sel][reps]
+    anchors[:, 1] = q_end[sel][reps]
+    anchors[:, 2] = q_ori[sel][reps]
+    anchors[:, 3] = sg["bgn"]
+    anchors[:, 4] = sg["end"]
+    anchors[:, 5] = sg["orientation"]
+    anchors = anchors[tok]
+    sid = sid[tok]
+    if anchors.shape[0] == 0:
+        return []
+    order = np.argsort(sid, kind="stable")  # keeps reference hit order
+    anchors = anchors[order]
+    sid = sid[order]
+    u_sid, first = np.unique(sid, return_index=True)
+    bounds = np.append(first, len(sid))
+
+    span = 8 if max_aln_span is None else max_aln_span
+    use_native = native.available()
+    out = []
+    for gi in range(len(u_sid)):
+        a = anchors[bounds[gi]: bounds[gi + 1]]
+        if a.shape[0] <= 1:
+            continue
+        if use_native:
+            chains = native.sparse_aln(a, span, penalty, max_gap, oriented)
+        else:
+            from . import aln_ref
+
+            hps = [
+                ((int(r[0]), int(r[1]), int(r[2])),
+                 (int(r[3]), int(r[4]), int(r[5])))
+                for r in a
+            ]
+            chains = [
+                (s, np.asarray(
+                    [[*q, *t] for q, t in track], dtype=np.uint32
+                ).reshape(-1, 6))
+                for s, track in aln_ref.sparse_aln(
+                    hps, span, penalty, max_gap, oriented
+                )
+            ]
+        if as_arrays:
+            chains = [(float(s), np.asarray(t, np.uint32)) for s, t in chains]
+        else:
+            chains = [
+                (
+                    s,
+                    [
+                        ((int(r[0]), int(r[1]), int(r[2])),
+                         (int(r[3]), int(r[4]), int(r[5])))
+                        for r in track
+                    ],
+                )
+                for s, track in chains
+            ]
+        out.append((int(u_sid[gi]), chains))
+    return out
+
+
 def query_fragment_to_hps(
     raw_query_hits: List[FragmentHit],
     penalty: float,
