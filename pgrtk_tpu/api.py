@@ -43,7 +43,12 @@ class SeqIndexDB:
     # ------------------------------------------------------------------
     # loaders
     # ------------------------------------------------------------------
+    def _invalidate_caches(self):
+        self._pb_cache = None
+        self._probe_cache = None
+
     def _rebuild_seq_maps_from_seq_db(self):
+        self._invalidate_caches()
         seq_index = {}
         seq_info = {}
         for s in self.seq_db.seqs:
@@ -98,6 +103,7 @@ class SeqIndexDB:
     def load_from_frg_index(self, prefix: str) -> None:
         """(reference: ext.rs:131-150)"""
         t0 = time.monotonic()
+        self._invalidate_caches()
         frg = frag_io.FragFileStorage(prefix)
         self.frg_db = frg
         self.shmmr_spec = frg.spec
@@ -115,6 +121,7 @@ class SeqIndexDB:
         from .core.pga import PgaSeqDB
 
         t0 = time.monotonic()
+        self._invalidate_caches()
         agc = PgaSeqDB(prefix)
         self.agc_db = agc
         self.shmmr_spec = agc.spec
@@ -352,15 +359,31 @@ class SeqIndexDB:
             self.get_shmmr_map(), adj_list, tuple(start)
         )
 
-    def get_principal_bundles(
-        self, min_count: int, path_len_cutoff: int, keeps=None
-    ):
+    def _principal_cached(self, min_count, path_len_cutoff, keeps):
+        """Principal-bundle decomposition, cached per parameter set (the
+        reference's pyclass caches bundles the same way, lib.rs:58-64):
+        pgr-pbundle-decomp computes the identical decomposition for the
+        BED emit and the principal GFA — one run serves both."""
+        key = (
+            min_count, path_len_cutoff,
+            tuple(sorted(keeps)) if keeps is not None else None,
+        )
+        cache = getattr(self, "_pb_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
         from .graph import bundles as gb
 
         frag_map = self.get_shmmr_map()
-        pb, _ = gb.principal_bundles_from_frag_map(
+        res = gb.principal_bundles_from_frag_map(
             frag_map, min_count, keeps, path_len_cutoff
         )
+        self._pb_cache = (key, res)
+        return res
+
+    def get_principal_bundles(
+        self, min_count: int, path_len_cutoff: int, keeps=None
+    ):
+        pb, _ = self._principal_cached(min_count, path_len_cutoff, keeps)
         return pb
 
     @staticmethod
@@ -504,8 +527,8 @@ class SeqIndexDB:
         from .graph import gfa as gfa_mod
 
         frag_map = self.get_shmmr_map()
-        pb, filtered_adj = gb.principal_bundles_from_frag_map(
-            frag_map, min_count, keeps, path_len_cutoff
+        pb, filtered_adj = self._principal_cached(
+            min_count, path_len_cutoff, keeps
         )
         if not pb and not filtered_adj:
             # skip the file only when there is no graph at all; when
