@@ -208,8 +208,10 @@ def _mm_to_list(ptr, n) -> List[Tuple[int, int]]:
     if n == 0:
         return []
     arr = np.ctypeslib.as_array(ptr, shape=(n,))
-    out = [(int(a), int(b)) for a, b in zip(arr["x"], arr["y"])]
-    return out
+    # bulk .tolist() (C-speed u64 -> int) + zip beats per-element numpy
+    # scalar conversion ~8x — sketching tuple marshalling was a visible
+    # slice of the pbundle CLI profile
+    return list(zip(arr["x"].tolist(), arr["y"].tolist()))
 
 
 def sequence_to_shmmrs(rid: int, seq: bytes, spec, padding: bool = False):
