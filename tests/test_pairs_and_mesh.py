@@ -111,7 +111,9 @@ def test_entry_jits():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
-    assert "selected" in out
+    scores, gvalid, overflow = out
+    assert not bool(overflow)
+    assert int(np.asarray(gvalid).sum()) > 50  # real anchors flowed through
 
 
 def test_scaling_harness_runs():
