@@ -112,3 +112,28 @@ def test_dense_fence_table_matches_padded_layout():
     mem_new = t_new["planes"].nbytes + t_new["fence"].nbytes
     assert mem_new <= 1.2 * keys.nbytes  # the layout's whole point
     assert mem_new < mem_old / 2
+
+
+def test_dense_overflow_raises_and_padded_fallback_works():
+    """A pathological key set (one hot bucket) must raise ValueError in
+    the dense build, while build_probe_table absorbs it by widening W —
+    the fallback pair device_query relies on."""
+    import pytest
+
+    from pgrtk_tpu.ops import probe
+
+    rng = np.random.default_rng(5)
+    # 400 keys sharing the same top-14 hash0 bits -> one bucket > 128
+    hot = (np.uint64(0x1234) << np.uint64(42)) | rng.integers(
+        0, 1 << 42, size=400, dtype=np.uint64
+    )
+    keys = np.stack(
+        [hot, rng.integers(0, 1 << 56, size=400, dtype=np.uint64)], axis=1
+    )
+    extra = rng.integers(0, 1 << 56, size=(20000, 2), dtype=np.uint64)
+    keys = np.concatenate([keys, extra])
+    keys = keys[np.lexsort((keys[:, 1], keys[:, 0]))]
+    with pytest.raises(ValueError):
+        probe.build_probe_table_dense(keys)
+    t = probe.build_probe_table(keys)  # widens W instead
+    assert t["planes"].shape[2] >= 256
