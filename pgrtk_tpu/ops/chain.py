@@ -272,14 +272,29 @@ def chain_scores_fast(
     over the window in recency order.
 
     This kernel keeps the window RECENCY-ORDERED (slot 0 = most recent;
-    insertion is a static shift, not a ring write), computes the break
-    with a log2(W) doubling cumsum, and raises a sticky per-group `dup`
-    flag the moment an inserted anchor's left coordinate matches any
-    occupied window slot (the O(W) same-left filter already computes
-    exactly that comparison).  Flagged groups must be re-run on
-    chain_scores_dense (exact under duplicates); un-flagged groups are
-    bit-identical to it — same f32 op order, same FMA blocking, same
-    nearest-wins tie-break, same window-eviction `inexact` condition.
+    insertion is a static shift, not a ring write) and computes the break
+    with a log2(W) doubling cumsum.
+
+    Duplicate lefts (round 4): anchors sharing a left coordinate are
+    CONSECUTIVE in every real lane — within one (query, target) group
+    sorted by q_bgn, equal q_bgn means the same query pair, and a pair's
+    postings expand back-to-back (aln.rs:212-226) — so same-left window
+    slots form contiguous runs.  Under that invariant the distinct-left
+    count is exact in O(W): a slot is "new" iff it is unfiltered and no
+    NEARER slot of its run is unfiltered (with the default filters a run
+    is uniformly filtered, so "new" is just run-start & unfiltered; with
+    oriented/max_gap filters a short segmented OR-scan handles unevenly
+    filtered runs).  The sticky per-group `dup` flag therefore only
+    fires when the invariant is actually violated: a same-left window
+    slot NOT contiguous with the most recent slots (possible only for
+    hand-built anchor lists), or a FULL duplicate (identical 6-tuple,
+    which the reference's value-keyed score map would overwrite; t
+    equality is tested on the f32 coords, so coords > 2^24 may flag
+    spuriously — a safe, slower direction).  Flagged groups must be
+    re-run on chain_scores_dense (exact under arbitrary duplicates);
+    un-flagged groups are bit-identical to it — same f32 op order, same
+    FMA blocking, same nearest-wins tie-break, same window-eviction
+    `inexact` condition.
 
     Unlike the dense kernel, INVALID anchors do not consume window slots
     (insertion is gated on validity, and the eviction condition counts
@@ -352,27 +367,75 @@ def chain_scores_fast(
         )
         unfiltered = unfiltered & ~same_left_cur
 
-        # distinct-left break, assuming distinct window lefts: exclusive
-        # cumsum of unfiltered in recency order (= slot order)
-        cnt = unfiltered.astype(jnp.int32)
+        # distinct-left break under the consecutive-run invariant: a slot
+        # adds a NEW left iff no nearer slot of its same-left run is
+        # unfiltered.  diff_prev marks run starts (slot d's left differs
+        # from the nearer slot d-1's).
+        diff_prev = jnp.concatenate(
+            [
+                jnp.ones((1, G), jnp.bool_),
+                (carry["i_qb"][1:] != carry["i_qb"][:-1])
+                | (carry["i_qe"][1:] != carry["i_qe"][:-1])
+                | (carry["i_qo"][1:] != carry["i_qo"][:-1]),
+            ],
+            axis=0,
+        )
+        if oriented or max_gap >= 0:
+            # runs may be unevenly filtered (per-slot t coords feed the
+            # gap/orientation filters): segmented exclusive OR-scan of
+            # `unfiltered` down the window, segments bounded by run starts
+            v = jnp.concatenate(
+                [jnp.zeros((1, G), jnp.bool_), unfiltered[:-1]], axis=0
+            ) & ~diff_prev
+            blocked = diff_prev
+            sh = 1
+            while sh < W:
+                v = v | (
+                    jnp.concatenate(
+                        [jnp.zeros((sh, G), jnp.bool_), v[:-sh]], axis=0
+                    )
+                    & ~blocked
+                )
+                blocked = blocked | jnp.concatenate(
+                    [jnp.ones((sh, G), jnp.bool_), blocked[:-sh]], axis=0
+                )
+                sh *= 2
+            new = unfiltered & ~v
+        else:
+            # default filters depend only on the shared left -> a run is
+            # uniformly filtered; its nearest member is the run start
+            new = unfiltered & diff_prev
+
+        cnt = new.astype(jnp.int32)
         sh = 1
         while sh < W:
             cnt = cnt + jnp.concatenate(
                 [jnp.zeros((sh, G), jnp.int32), cnt[:-sh]], axis=0
             )
             sh *= 2
-        excl = cnt - unfiltered.astype(jnp.int32)
+        excl = cnt - new.astype(jnp.int32)
         scored = unfiltered & (excl < max_span)
 
-        total_unf = cnt[-1]  # inclusive cumsum at the last slot
+        total_new = cnt[-1]  # inclusive cumsum at the last slot
         inexact = carry["inexact"] | (
-            x["is_valid"] & (carry["nv"] > W) & (total_unf < max_span)
+            x["is_valid"] & (carry["nv"] > W) & (total_new < max_span)
         )
-        # a same-left pair co-resident in the window breaks the
-        # distinct==count identity -> dense rerun
-        dup = carry["dup"] | (
-            x["is_valid"] & jnp.any(same_left_cur & occ, axis=0)
+        # invariant violations -> dense rerun: a same-left slot NOT in
+        # the contiguous most-recent prefix (cs counts non-same-left
+        # slots at or nearer than d; >0 at a same-left slot means the
+        # run is broken), or a full duplicate of the current anchor
+        # (same left + same t coords/orientation, f32-compared)
+        slc = same_left_cur & occ
+        cs = jnp.cumsum((~slc).astype(jnp.int32), axis=0)
+        nonconsec = jnp.any(slc & (cs > 0), axis=0)
+        fulldup = jnp.any(
+            slc
+            & (carry["f_tb"] == x["f_tb"][None, :])
+            & (carry["f_te"] == x["f_te"][None, :])
+            & (carry["w_rel"] == x["rel"][None, :]),
+            axis=0,
         )
+        dup = carry["dup"] | (x["is_valid"] & (nonconsec | fulldup))
 
         # score (identical f32 op order / FMA blocking to the dense kernel)
         span_cur = x["self_score"][None, :]

@@ -209,8 +209,10 @@ def test_native_traceback_matches_python_traceback():
 
 def test_fast_kernel_bit_matches_dense_and_flags_duplicates():
     """chain_scores_fast must be bit-identical to chain_scores_dense on
-    groups without duplicate window lefts, raise `dup` on groups with
-    them, and agree on the window-eviction `inexact` flag."""
+    every group whose same-left anchors form CONSECUTIVE runs (the only
+    pattern real postings expansion produces), flag `dup` only on full
+    duplicates or non-consecutive same-left anchors, and agree on the
+    window-eviction `inexact` flag."""
     import jax.numpy as jnp
 
     from pgrtk_tpu.ops import chain as dchain
@@ -232,8 +234,21 @@ def test_fast_kernel_bit_matches_dense_and_flags_duplicates():
             ],
             axis=1,
         )
-        if g % 4 == 0 and n > 10:  # inject a duplicate left coordinate
+        if g % 4 == 0 and n > 10:
+            # CONSECUTIVE same-left run (multiplicity-2 posting):
+            # handled exactly, must NOT flag
             anchors[5, :3] = anchors[4, :3]
+        if g % 4 == 1 and n > 10:
+            # full duplicate (same 6-tuple): value-keyed score
+            # overwrite -> must flag
+            anchors[5] = anchors[4]
+        if g % 4 == 2 and n > 10:
+            # NON-consecutive same-left (hand-built pattern: same q_bgn,
+            # different q_end between) -> must flag
+            anchors[6, 0] = anchors[4, 0]
+            anchors[5, 0] = anchors[4, 0]
+            anchors[6, 1:3] = anchors[4, 1:3]
+            anchors[5, 1] = anchors[4, 1] + 7
         groups.append(anchors)
     anchors, valid = dchain.pad_groups(groups)
     pad = N - anchors.shape[1]
@@ -249,17 +264,71 @@ def test_fast_kernel_bit_matches_dense_and_flags_duplicates():
         )
         sd, pd, ix_d = map(np.asarray, (sd, pd, ix_d))
         sf, pf, dup, ix_f = map(np.asarray, (sf, pf, dup, ix_f))
-        assert dup[0] and dup[4] and dup[8] and dup[12]
+        assert not dup[0] and not dup[4] and not dup[8] and not dup[12]
+        assert dup[1] and dup[5] and dup[9] and dup[13]  # full dups
+        assert dup[2] and dup[6] and dup[10] and dup[14]  # non-consecutive
         ok = ~dup
         assert np.array_equal(ix_d[ok], ix_f[ok])
         exact = ok & ~ix_f
         if mg == -1:  # the unfiltered config must keep some exact rows
             assert exact.any()
+            # the consecutive-run groups themselves must be exact
+            assert exact[0] and exact[4]
         # invalid (padding) positions carry meaningless scores/prev —
         # the traceback never visits them; compare valid positions only
         vm = valid[exact]
         assert np.array_equal(sd[exact][vm], sf[exact][vm])
         assert np.array_equal(pd[exact][vm], pf[exact][vm])
+
+
+def test_fast_kernel_exact_on_multiplicity_runs():
+    """Posting-multiplicity anchor pattern: runs of 2-4 same-left anchors
+    (one query pair -> several target fragments), every option combo.
+    The fast kernel must stay un-flagged and bit-match the dense kernel
+    AND the scalar arbiter through chain_groups."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import chain as dchain
+
+    rng = np.random.RandomState(3)
+    for trial in range(6):
+        hits = []
+        qb = 0
+        while len(hits) < 60:
+            qb += int(rng.randint(20, 120))
+            qe = qb + int(rng.randint(10, 60))
+            qo = int(rng.randint(0, 2))
+            mult = int(rng.randint(1, 5))
+            for _ in range(mult):
+                tb = int(rng.randint(0, 40000))
+                te = tb + int(rng.randint(10, 60))
+                hits.append(((qb, qe, qo), (tb, te, int(rng.randint(0, 2)))))
+        arr = _as_arr(hits)
+        oriented = bool(trial % 2)
+        max_gap = None if trial < 3 else 5000
+        span = [1, 2, 8][trial % 3]
+        mg = -1 if max_gap is None else max_gap
+
+        anchors, valid = dchain.pad_groups([arr])
+        sf, pf, dup, ix_f = dchain.chain_scores_fast(
+            jnp.asarray(anchors), jnp.asarray(valid), 0.025, mg, oriented,
+            lookback=32, max_span=span,
+        )
+        assert not bool(np.asarray(dup)[0]), (trial, "spurious dup flag")
+        if not bool(np.asarray(ix_f)[0]):
+            sd, pd, _ = dchain.chain_scores_dense(
+                jnp.asarray(anchors), jnp.asarray(valid), 0.025, mg,
+                oriented, lookback=32, max_span=span,
+            )
+            assert np.array_equal(np.asarray(sf)[valid], np.asarray(sd)[valid])
+            assert np.array_equal(np.asarray(pf)[valid], np.asarray(pd)[valid])
+
+        ref = aln_ref.sparse_aln(list(hits), span, 0.025, max_gap, oriented)
+        out = dchain.chain_groups(
+            [arr], 0.025, max_span=span, max_gap=max_gap, oriented=oriented,
+            lookback=32,
+        )[0]
+        _assert_chains_equal(out, ref)
 
 
 def test_chain_groups_fast_vs_dense_kernel_env(test_data_dir, monkeypatch):
