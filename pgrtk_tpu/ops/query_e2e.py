@@ -1,31 +1,46 @@
 """Device end-to-end query pipeline: sketch -> pair -> probe -> postings
-expansion -> count filter -> batched chain DP, all inside one jit.
+expansion -> count filters -> batched chain DP, all inside one jit.
 
 This is the full query path of the reference (seq_db.rs:1198-1257 raw
-query + aln.rs:147-242 count filter and per-target sparse chain DP), not
-just probe membership.  Shape strategy:
+query + aln.rs:147-242 count filters and per-target sparse chain DP),
+not just probe membership.  Shape strategy:
 
   * query pairs are rank-extracted to a dense (B, Pc) stream (the 24k
     gapped pair stream at mode-2 density is ~83% padding — compaction
-    cuts the chain scan depth 5x);
-  * each probed key's postings live in ONE row of a (n_keys+1, 2C) u32
-    plane, slot c <-> target sid c, so expansion is a single aligned
-    row gather per query pair (no per-signature scalar gathers) and the
-    per-target anchor groups fall out as (b, c) lanes with anchors
-    already in q_bgn order (pair emission order);
-  * chaining is ops/chain.py's chain_scores_fast over G = B*C lanes
-    (invalid slots do not consume window entries), with the dup/evict
-    flags folded into the result for the caller's fallback contract.
+    cuts everything downstream 5x);
+  * each probed key's postings live in ONE row of (n_keys+1, P) u32
+    planes that carry the target sid AS DATA (ragged/CSR rows padded to
+    P slots), so a key may hold ANY per-(key, sid) multiplicity and any
+    number of target sids up to P — the meta word packs
+    keyovf(1) | mult(7) | m(4) | sid(20) per slot, where m is the
+    occurrence rank within the slot's (key, sid) group and mult the
+    group size (both precomputed at build, so the device-side count
+    filter run_len*mult needs no P^2 comparisons);
+  * the reference's count filters run live on device
+    (aln.rs:159-228): the per-query pair count (occurrences of the key
+    among THIS query's pairs — found or not, matching
+    raw_query_fragment's empty-signature entries) gates on
+    min(max_count, max_count_query), and the per-(pair, sid) target
+    count equals run_len * mult exactly (every occurrence of a key in
+    the query expands the same postings list);
+  * anchors are grouped into (query, target) chain lanes by a one-hot
+    placement over (sid, m): lane (b, c) holds the anchor of pair p,
+    occurrence m at position p*M + m — per-lane anchors stay in the
+    reference's q_bgn-sorted order with same-left runs consecutive
+    (exactly the invariant ops/chain.py's fast kernel exploits);
+  * chaining is ops/chain.py's chain_scores_fast over G = B*C lanes,
+    with dup/inexact flags folded into the result for the caller's
+    per-group fallback contract.
 
-The slot-aligned postings layout fixes the sid of slot c, so it requires
-per-(key, sid) multiplicity <= 1; build_synth_index drops violating keys
-(and reports how many).  The in-query duplicate-pair count filter
-(aln.rs's max_count/max_count_query over occurrences of a pair within
-one query) is NOT applied on device — synthetic uniform sequences have
-no duplicate pairs; production batch queries go through
-parallel/device_query.py which applies it on host.  The per-target
-count filter (max_count_target) is enforced structurally: multiplicity
-is <= 1 per (key, sid) by construction, far below the 128 default.
+Static capacities and their flags (all per-row or per-group, so a
+violating query/group falls back to the host path individually):
+
+  * P     — postings slots per key; keys with more postings (or m > 15 /
+            mult > 127) carry the keyovf bit -> per-QUERY `row_ovf`.
+  * M     — per-(key, sid) occurrences placed per pair (mult_cap);
+            hits with m >= M -> per-GROUP `mult_ovf`.
+  * C     — target sids addressable by the lane layout (n_targets);
+            the postings rows themselves are C-independent.
 """
 from __future__ import annotations
 
@@ -40,90 +55,172 @@ from .pairs import (
 from .probe import build_probe_table_dense, probe_keys_dense
 from .sketch import sketch_compact_mode2
 
+META_EMPTY = 0xFFFFFFFF
+SID_BITS = 20
+M_BITS = 4
+MULT_BITS = 7
 
-def build_synth_index(
-    target_seqs: np.ndarray,
+
+def pack_meta(sid, m, mult, keyovf):
+    """keyovf(1) | mult(7) | m(4) | sid(20) as uint32 (numpy arrays)."""
+    return (
+        (keyovf.astype(np.uint32) << np.uint32(31))
+        | (np.minimum(mult, 127).astype(np.uint32) << np.uint32(24))
+        | (np.minimum(m, 15).astype(np.uint32) << np.uint32(20))
+        | sid.astype(np.uint32)
+    )
+
+
+def build_index(
+    target_seqs=None,
+    pair_arrays=None,
     k: int = 56,
     r: int = 4,
     min_span: int = 64,
     n_decoys: int = 0,
     seed: int = 7,
     build_lookup: bool = True,
+    P: int = 16,
+    target_lens=None,
 ):
-    """Host-side index build over (T, L) uint8 2-bit target sequences.
+    """Vectorized host-side index build producing the device postings
+    planes (general layout: sid as data, arbitrary multiplicity).
 
-    Sketches each target with the bit-exact host arbiter, forms builder-
-    canonical pairs (tie -> orientation 0, seq_db.rs:391), keeps keys
-    whose per-(key, sid) multiplicity is <= 1, pads the key set with
-    `n_decoys` random never-hit keys (so probe cost matches a production
-    index much larger than the batch), and returns:
+    Input: either `target_seqs` — (T, L) uint8 2-bit sequences sketched
+    with the bit-exact host arbiter — or `pair_arrays` — a dict of flat
+    numpy arrays (k0, k1 uint64; sid, bgn, end, ori uint32) already in
+    (sid, position) order (the reference's postings insertion order,
+    seq_db.rs:386-418).
+
+    Builder-canonical pairs (tie -> orientation 0, seq_db.rs:391).  The
+    key set is padded with `n_decoys` random never-hit single-posting
+    keys (so probe cost matches a production index much larger than the
+    batch).  Returns dict:
 
       keys      (n_keys, 2) u64 key-sorted
-      postings  (n_keys+1, 2C) u32 — [:, :C] = ori<<31|t_bgn,
-                [:, C:] = valid<<31|t_end; slot c <-> sid c; the last
-                row is the not-found sentinel
-      lookup    dict (k0, k1) -> [(0, sid, bgn, end, ori), ...] for the
-                host parity pipeline
-      probe     dict from ops.probe.build_probe_table
-      n_multi_dropped
+      p_meta    (n_keys+1, P) u32 — keyovf|mult|m|sid per slot,
+                0xFFFFFFFF = empty; last row = not-found sentinel
+      p_bgnori  (n_keys+1, P) u32 — ori<<31 | t_bgn
+      p_end     (n_keys+1, P) u32 — t_end
+      lookup    dict (k0, k1) -> [(0, sid, bgn, end, ori), ...] in
+                reference postings order, for the host parity pipeline
+      probe     dict from ops.probe.build_probe_table_dense
+      n_targets, n_multi (keys with any per-sid multiplicity > 1),
+      n_truncated (keys with keyovf set), max_postings
     """
-    from ..core import sketch as sketch_mod
-    from ..core.spec import ShmmrSpec
+    if pair_arrays is None:
+        from ..core import sketch as sketch_mod
+        from ..core.spec import ShmmrSpec
 
-    spec = ShmmrSpec(80, k, r, min_span, True)
-    T, _L = target_seqs.shape
-    C = T
-    BASES = b"ACGT"
-    per_key: dict = {}
-    for sid in range(T):
-        seq = bytes(bytearray(BASES[b] for b in target_seqs[sid]))
-        mx, my = sketch_mod.sequence_to_shmmrs_arrays(sid, seq, spec, False)
-        if len(mx) < 2:
-            continue
-        h = (mx >> np.uint64(8)).astype(np.uint64)
-        p = ((my & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(
-            np.int64
-        ) + 1
-        s0, s1 = h[:-1], h[1:]
-        swap = s0 > s1  # builder tie-break: s0 <= s1 -> orientation 0
-        k0 = np.where(swap, s1, s0)
-        k1 = np.where(swap, s0, s1)
-        for i in range(len(k0)):
-            per_key.setdefault((int(k0[i]), int(k1[i])), []).append(
-                (sid, int(p[i]), int(p[i + 1]), int(swap[i]))
+        spec = ShmmrSpec(80, k, r, min_span, True)
+        T, _L = target_seqs.shape
+        BASES = b"ACGT"
+        cols = {kk: [] for kk in ("k0", "k1", "sid", "bgn", "end", "ori")}
+        for sid in range(T):
+            row = target_seqs[sid]
+            if target_lens is not None:
+                row = row[: int(target_lens[sid])]  # ragged true length
+            seq = bytes(bytearray(BASES[b] for b in row))
+            mx, my = sketch_mod.sequence_to_shmmrs_arrays(
+                sid, seq, spec, False
             )
+            if len(mx) < 2:
+                continue
+            h = (mx >> np.uint64(8)).astype(np.uint64)
+            p = ((my & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(
+                np.uint32
+            ) + np.uint32(1)
+            s0, s1 = h[:-1], h[1:]
+            swap = s0 > s1  # builder tie-break: s0 <= s1 -> orientation 0
+            cols["k0"].append(np.where(swap, s1, s0))
+            cols["k1"].append(np.where(swap, s0, s1))
+            cols["sid"].append(np.full(len(s0), sid, dtype=np.uint32))
+            cols["bgn"].append(p[:-1])
+            cols["end"].append(p[1:])
+            cols["ori"].append(swap.astype(np.uint32))
+        pair_arrays = {
+            kk: (
+                np.concatenate(v)
+                if v
+                else np.zeros(
+                    0, np.uint64 if kk in ("k0", "k1") else np.uint32
+                )
+            )
+            for kk, v in cols.items()
+        }
+        n_targets = T
+    else:
+        n_targets = (
+            int(pair_arrays["sid"].max()) + 1
+            if len(pair_arrays["sid"])
+            else 0
+        )
 
-    keys_list = []
-    postings_list = []
-    lookup = {}
-    n_multi = 0
-    for key, sigs in per_key.items():
-        sids = [s[0] for s in sigs]
-        if len(sids) != len(set(sids)):
-            n_multi += 1
-            continue
-        keys_list.append(key)
-        postings_list.append(sigs)
-        lookup[key] = [
-            (0, sid, bgn, end, ori)
-            for sid, bgn, end, ori in sorted(sigs)
-        ]
+    k0 = pair_arrays["k0"]
+    k1 = pair_arrays["k1"]
+    sid = pair_arrays["sid"].astype(np.uint32)
+    bgn = pair_arrays["bgn"].astype(np.uint32)
+    end = pair_arrays["end"].astype(np.uint32)
+    ori = pair_arrays["ori"].astype(np.uint32)
+    assert sid.size == 0 or int(sid.max()) < (1 << SID_BITS) - 1, (
+        "sid exceeds the 20-bit meta field"
+    )
+
+    # stable sort by key; input is (sid, position) ordered, so equal keys
+    # keep the reference's postings insertion order
+    order = np.lexsort((k1, k0))
+    k0s, k1s = k0[order], k1[order]
+    n_post = len(k0s)
+    newkey = np.ones(n_post, dtype=bool)
+    if n_post > 1:
+        newkey[1:] = (k0s[1:] != k0s[:-1]) | (k1s[1:] != k1s[:-1])
+    key_id = np.cumsum(newkey) - 1  # 0..n_real-1 per posting
+    n_real = int(key_id[-1]) + 1 if n_post else 0
+    key_start = np.flatnonzero(newkey)
+    j = np.arange(n_post) - key_start[key_id]  # slot within key
+
+    # per-(key, sid) runs (contiguous within a key group by construction)
+    sid_s = sid[order]
+    newrun = newkey.copy()
+    if n_post > 1:
+        newrun[1:] |= sid_s[1:] != sid_s[:-1]
+    run_id = np.cumsum(newrun) - 1
+    run_start = np.flatnonzero(newrun)
+    m = (np.arange(n_post) - run_start[run_id]).astype(np.int64)
+    run_len = np.diff(np.append(run_start, n_post))
+    mult = run_len[run_id].astype(np.int64)
+
+    counts = np.diff(np.append(key_start, n_post)) if n_post else (
+        np.zeros(0, np.int64)
+    )
+    key_ovf = np.zeros(n_real, dtype=bool)
+    if n_post:
+        np.logical_or.at(key_ovf, key_id, (m > 15) | (mult > 127))
+        key_ovf |= counts > P
+    n_truncated = int(key_ovf.sum())
+    key_multi = np.zeros(n_real, dtype=bool)
+    if n_post:
+        np.logical_or.at(key_multi, key_id, mult > 1)
+    n_multi = int(key_multi.sum())
+    max_postings = int(counts.max()) if n_post else 0
+
+    real_keys = np.stack(
+        [k0s[newkey], k1s[newkey]], axis=1
+    ).astype(np.uint64)
 
     rng = np.random.default_rng(seed)
-    n_real = len(keys_list)
-    real_keys = np.asarray(keys_list, dtype=np.uint64).reshape(-1, 2)
     if n_decoys:
-        # vectorized decoys, each with one random single-slot posting.
-        # Collisions with real keys are ~n_real*n_decoys/2^112 — only the
-        # parity-tested path (build_lookup) screens them.
+        C = max(1, n_targets)
         dk = rng.integers(0, 1 << 56, size=(n_decoys, 2), dtype=np.uint64)
-        d_sid = rng.integers(0, C, size=n_decoys)
+        d_sid = rng.integers(0, C, size=n_decoys).astype(np.uint32)
         d_bgn = rng.integers(1, 1 << 20, size=n_decoys).astype(np.uint32)
         d_end = d_bgn + rng.integers(64, 4096, size=n_decoys).astype(
             np.uint32
         )
         d_ori = rng.integers(0, 2, size=n_decoys).astype(np.uint32)
         if build_lookup:
+            # collisions with real keys are ~n_real*n_decoys/2^112 — only
+            # the parity-tested path screens them
             existing = set(map(tuple, real_keys.tolist()))
             keep = np.asarray(
                 [tuple(kk) not in existing for kk in dk.tolist()]
@@ -131,50 +228,98 @@ def build_synth_index(
             dk, d_sid, d_bgn, d_end, d_ori = (
                 dk[keep], d_sid[keep], d_bgn[keep], d_end[keep], d_ori[keep]
             )
+        keys = np.concatenate([real_keys, dk], axis=0)
+    else:
+        keys = real_keys
+
+    korder = np.lexsort((keys[:, 1], keys[:, 0]))
+    keys = keys[korder]
+    inv = np.empty(len(keys), dtype=np.int64)
+    inv[korder] = np.arange(len(keys))
+
+    n = len(keys)
+    p_meta = np.full((n + 1, P), META_EMPTY, dtype=np.uint32)
+    p_bgnori = np.zeros((n + 1, P), dtype=np.uint32)
+    p_end = np.zeros((n + 1, P), dtype=np.uint32)
+    if n_post:
+        keep_slot = j < P
+        rows = inv[key_id[keep_slot]]
+        js = j[keep_slot]
+        p_meta[rows, js] = pack_meta(
+            sid_s[keep_slot],
+            m[keep_slot],
+            mult[keep_slot],
+            key_ovf[key_id[keep_slot]],
+        )
+        p_bgnori[rows, js] = (
+            (ori[order][keep_slot] << np.uint32(31)) | bgn[order][keep_slot]
+        )
+        p_end[rows, js] = end[order][keep_slot]
+    if n_decoys and len(dk):
+        drow = inv[n_real:]
+        p_meta[drow, 0] = pack_meta(
+            d_sid,
+            np.zeros(len(dk), np.int64),
+            np.ones(len(dk), np.int64),
+            np.zeros(len(dk), bool),
+        )
+        p_bgnori[drow, 0] = (d_ori << np.uint32(31)) | d_bgn
+        p_end[drow, 0] = d_end
+
+    lookup = None
+    if build_lookup:
+        lookup = {}
+        if n_post:
+            bounds = np.append(key_start, n_post)
+            b_s = bgn[order]
+            e_s = end[order]
+            o_s = ori[order]
+            for ki in range(n_real):
+                s, e = int(bounds[ki]), int(bounds[ki + 1])
+                lookup[(int(k0s[s]), int(k1s[s]))] = [
+                    (0, int(sid_s[t]), int(b_s[t]), int(e_s[t]), int(o_s[t]))
+                    for t in range(s, e)
+                ]
+        if n_decoys:
             for i in range(len(dk)):
                 lookup[(int(dk[i, 0]), int(dk[i, 1]))] = [
                     (0, int(d_sid[i]), int(d_bgn[i]), int(d_end[i]),
                      int(d_ori[i]))
                 ]
-        keys = np.concatenate([real_keys, dk], axis=0)
-    else:
-        keys = real_keys
-
-    order = np.lexsort((keys[:, 1], keys[:, 0]))
-    keys = keys[order]
-    inv = np.empty(len(keys), dtype=np.int64)
-    inv[order] = np.arange(len(keys))
-
-    n = len(keys)
-    postings = np.zeros((n + 1, 2 * C), dtype=np.uint32)
-    for i, sigs in enumerate(postings_list):
-        row = inv[i]
-        for sid, bgn, end, ori in sigs:
-            postings[row, sid] = (np.uint32(ori) << 31) | np.uint32(bgn)
-            postings[row, C + sid] = np.uint32(1 << 31) | np.uint32(end)
-    if n_decoys:
-        drow = inv[n_real:]
-        postings[drow, d_sid] = (d_ori << np.uint32(31)) | d_bgn
-        postings[drow, C + d_sid] = np.uint32(1 << 31) | d_end
 
     probe = build_probe_table_dense(keys)
     return dict(
         keys=keys,
-        postings=postings,
-        lookup=lookup if build_lookup else None,
+        p_meta=p_meta,
+        p_bgnori=p_bgnori,
+        p_end=p_end,
+        lookup=lookup,
         probe=probe,
-        C=C,
-        n_multi_dropped=n_multi,
+        C=n_targets,
+        P=P,
+        n_multi=n_multi,
+        n_truncated=n_truncated,
+        max_postings=max_postings,
     )
+
+
+def build_synth_index(*args, **kwargs):
+    """Back-compat alias for build_index (round-3 name).  The general
+    layout no longer drops multi-signature keys; n_multi_dropped is
+    always 0 and n_multi reports how many keys carry multiplicity."""
+    idx = build_index(*args, **kwargs)
+    idx["n_multi_dropped"] = 0
+    return idx
 
 
 def dup_pair_counts(k_planes, valid):
     """Per-QUERY duplicate-pair counts: for every (B, Pc) slot, how many
     times its 4-u32-plane pair key occurs among the same row's valid
-    slots (aln.rs's pair_count over one query's pair list).  Sort each
-    row by key with the slot index as payload, run lengths via log-shift
-    segment propagation, unsort.  Invalid slots count in their own
-    all-ones segment (masked by validity downstream).
+    slots (aln.rs's pair_count over one query's pair list — found or
+    not: raw_query_fragment emits an entry per pair either way).  Sort
+    each row by key with the slot index as payload, run lengths via
+    log-shift segment propagation, unsort.  Invalid slots count in their
+    own all-ones segment (masked by validity downstream).
 
     Used by both the single-chip (ops/query_e2e.py) and the sharded
     (parallel/mesh.py) end-to-end query steps — the count must be per
@@ -232,14 +377,89 @@ def dup_pair_counts(k_planes, valid):
     return run_len
 
 
+def expand_postings(
+    meta_rows,
+    bgnori_rows,
+    end_rows,
+    base_hit,
+    run_len,
+    C: int,
+    M: int,
+    max_count_target: int,
+):
+    """Postings rows -> (query, target) lane planes.
+
+    Args (all traced):
+      meta_rows/bgnori_rows/end_rows: (B, Pc, P) u32 fetched postings
+      base_hit: (B, Pc) bool — pair valid & key found & query-count ok
+      run_len:  (B, Pc) i32 — per-query occurrences of the pair key
+      C, M: static lane geometry (n_targets, mult cap)
+      max_count_target: the reference's per-(pair, sid) cap
+
+    Returns dict with lane planes (B, C, Pc, M): t_bgnori, t_end, hv
+    (valid), plus row_ovf (B,) bool (truncated-key hit -> host fallback
+    for the whole query) and grp_ovf (B, C) bool (an m >= M hit dropped
+    from that lane).
+    """
+    import jax.numpy as jnp
+
+    B, Pc, P = meta_rows.shape
+    U32 = jnp.uint32
+    slot_valid = meta_rows != U32(META_EMPTY)
+    sid = meta_rows & U32((1 << SID_BITS) - 1)
+    m = (meta_rows >> SID_BITS) & U32((1 << M_BITS) - 1)
+    mult = (meta_rows >> (SID_BITS + M_BITS)) & U32((1 << MULT_BITS) - 1)
+    kovf = (meta_rows[:, :, 0] >> 31) == U32(1)  # slot 0 carries the bit
+
+    row_ovf = (base_hit & kovf & slot_valid[:, :, 0]).any(axis=1)
+
+    # per-(pair, sid) target count = run_len * mult (aln.rs:213-221):
+    # every query occurrence of the key contributes the same signatures
+    t_cnt = run_len[:, :, None].astype(jnp.uint32) * mult
+    t_ok = t_cnt <= U32(max_count_target)
+    hit = base_hit[:, :, None] & slot_valid & t_ok & (sid < U32(C))
+
+    grp_drop = hit & (m >= U32(M))
+    # (B, Pc, P, C) one-hot over sid just for the overflow reduce
+    c_iota = jnp.arange(C, dtype=jnp.uint32)
+    grp_ovf = (
+        (grp_drop[..., None] & (sid[..., None] == c_iota))
+        .any(axis=(1, 2))
+    )  # (B, C)
+
+    sel = hit & (m < U32(M))
+    CM = C * M
+    cm_key = jnp.where(sel, sid * U32(M) + m, U32(CM))
+    onehot = (
+        cm_key[..., None] == jnp.arange(CM, dtype=jnp.uint32)
+    )  # (B, Pc, P, CM)
+    oh = onehot.astype(jnp.uint32)
+
+    def place(v):  # (B, Pc, P) -> (B, C, Pc, M)
+        out = (oh * v[..., None]).sum(axis=2)  # (B, Pc, CM): <=1 match
+        return out.reshape(B, Pc, C, M).transpose(0, 2, 1, 3)
+
+    hv = onehot.any(axis=2).reshape(B, Pc, C, M).transpose(0, 2, 1, 3)
+    return dict(
+        t_bgnori=place(bgnori_rows),
+        t_end=place(end_rows),
+        hv=hv,
+        row_ovf=row_ovf,
+        grp_ovf=grp_ovf,
+    )
+
+
 def query_e2e_step(
     seqs_u8,
     lens,
     probe_bits: int,
     probe_planes,
     probe_fence,
-    postings,
+    p_meta,
+    p_bgnori,
+    p_end,
     C: int,
+    M: int = 4,
     k: int = 56,
     r: int = 4,
     min_span: int = 64,
@@ -257,10 +477,9 @@ def query_e2e_step(
 
     Returns dict with anchors (G, N, 6) u32, gvalid (G, N) bool, scores
     (G, N) f32, prev (G, N) i32, dup (G,) bool, inexact (G,) bool,
-    overflow () bool, where G = B*C lanes (query b, target sid c) and N
-    is the compacted pair capacity.
+    mult_ovf (G,) bool, row_ovf (B,) bool, overflow () bool, where
+    G = B*C lanes (query b, target sid c) and N = Pc*M.
     """
-    import jax
     import jax.numpy as jnp
 
     B = seqs_u8.shape[0]
@@ -286,48 +505,43 @@ def query_e2e_step(
         q_h0.reshape(-1), q_l0.reshape(-1),
         q_h1.reshape(-1), q_l1.reshape(-1),
     )
-    n_keys = postings.shape[0] - 1
+    n_keys = p_meta.shape[0] - 1
     row_safe = jnp.where(found, row, n_keys)
-    rows = jnp.take(postings, row_safe, axis=0)  # (B*Pc, 2C) one gather
-    w_bgn = rows[:, :C].reshape(B, Pc, C)
-    w_end = rows[:, C:].reshape(B, Pc, C)
-    t_ori = w_bgn >> 31
-    t_bgn = w_bgn & jnp.uint32(0x7FFFFFFF)
-    slot_valid = (w_end >> 31) != 0
-    t_end = w_end & jnp.uint32(0x7FFFFFFF)
+    P = p_meta.shape[1]
+    meta_rows = jnp.take(p_meta, row_safe, axis=0).reshape(B, Pc, P)
+    bgnori_rows = jnp.take(p_bgnori, row_safe, axis=0).reshape(B, Pc, P)
+    end_rows = jnp.take(p_end, row_safe, axis=0).reshape(B, Pc, P)
 
-    # in-query duplicate-pair count filter (aln.rs:159-228 semantics):
-    # pair_count = occurrences of the pair key within THIS query's pair
-    # list; the hits of a pair are dropped when it exceeds max_count or
-    # max_count_query, and (with the slot-aligned table's per-(key,sid)
-    # multiplicity of 1) the per-target filter reduces to the same count.
-    count_cap = min(max_count, max_count_query, max_count_target)
-    found2 = found.reshape(B, Pc)
+    # in-query duplicate-pair count filter (aln.rs:203-211)
     run_len = dup_pair_counts((q_h0, q_l0, q_h1, q_l1), cvalid)
-    count_ok = run_len <= count_cap
+    count_ok = run_len <= min(max_count, max_count_query)
+    base_hit = cvalid & found.reshape(B, Pc) & count_ok
 
-    hit = (
-        cvalid
-        & found2
-        & count_ok
-    )[:, :, None] & slot_valid  # (B, Pc, C)
+    ex = expand_postings(
+        meta_rows, bgnori_rows, end_rows, base_hit, run_len,
+        C, M, max_count_target,
+    )
 
-    def lane(v):  # (B, Pc, C) -> (G, N)
-        return v.transpose(0, 2, 1).reshape(B * C, Pc)
+    N = Pc * M
+
+    def lane(v):  # (B, C, Pc, M) -> (G, N)
+        return v.reshape(B * C, N)
 
     def lane_q(v):  # (B, Pc) -> (G, N)
         return jnp.broadcast_to(
-            v[:, None, :], (B, C, Pc)
-        ).reshape(B * C, Pc)
+            v[:, None, :, None], (B, C, Pc, M)
+        ).reshape(B * C, N)
 
+    t_ori = ex["t_bgnori"] >> 31
+    t_bgn = ex["t_bgnori"] & jnp.uint32(0x7FFFFFFF)
     anchors = jnp.stack(
         [
             lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
-            lane(t_bgn), lane(t_end), lane(t_ori),
+            lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
         ],
         axis=-1,
     )
-    gvalid = lane(hit)
+    gvalid = lane(ex["hv"])
     scores, prev, dup, inexact = chain_scores_fast(
         anchors, gvalid, penalty, -1, False,
         lookback=lookback, max_span=max_span, unroll=unroll,
@@ -339,6 +553,8 @@ def query_e2e_step(
         prev=prev,
         dup=dup,
         inexact=inexact,
+        mult_ovf=ex["grp_ovf"].reshape(B * C),
+        row_ovf=ex["row_ovf"],
         overflow=ovf | ovf2,
     )
 
@@ -357,5 +573,7 @@ def fold_e2e_scalar(res):
         + (sbits & jnp.uint32(3))
         + res["dup"].sum().astype(jnp.uint32)
         + res["inexact"].sum().astype(jnp.uint32)
+        + res["mult_ovf"].sum().astype(jnp.uint32)
+        + res["row_ovf"].sum().astype(jnp.uint32)
         + res["overflow"].astype(jnp.uint32)
     )

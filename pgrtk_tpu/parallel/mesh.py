@@ -599,6 +599,8 @@ def sharded_query_v2_e2e_step(
     penalty: float = 0.025,
     lookback: int = 32,
     max_span: int = 8,
+    M: int = 4,
+    postings_cap: int = 16,
     max_count: int = 128,
     max_count_query: int = 128,
     max_count_target: int = 128,
@@ -607,37 +609,57 @@ def sharded_query_v2_e2e_step(
 ):
     """END-TO-END query against the hash-range-sharded v2 index: the
     full reference query path (seq_db.rs:1198-1257 + aln.rs:147-242)
-    distributed over the mesh with TWO all_to_alls.
+    distributed over the mesh with TWO all_to_alls, on the GENERAL
+    postings layout (arbitrary per-(key, sid) multiplicity, target
+    counts independent of the route payload).
 
     Per device: sketch the LOCAL queries, compact the pair stream
     (rank-extract, slots2 wide level 2), key-sort the pairs by owner
     range with the original position as payload, ROUTE the 4 key planes
     to their hash-range owners (all_to_all #1).  Owners probe their
     shard's bucketed planes — _shard_probe_planes scatters the postings
-    fields (sid, ori<<31|bgn, end) into the same geometry, so the probe
-    row fetch doubles as postings expansion: for each target sid slot c,
-    a masked reduce over the 128-wide hit row extracts that target's
-    signature (exact while per-(key,sid) multiplicity <= 1; violations
-    raise `multi_overflow`).  The (2*n_targets)-plane hit rows ride
-    all_to_all #2 back to the querying device in the exact send layout,
-    are unsorted to original pair order, and chained locally as
-    (query, target) lanes via ops.chain.chain_scores_fast.
+    fields (sid, ori<<31|bgn, end) into the same geometry, and the
+    shard table is key-sorted before the bucket scatter (both sorts
+    stable), so each key's full postings list is ONE contiguous run of
+    its 128-wide bucket row, in reference (sid, position) order.  The
+    owner compacts that run into `postings_cap` slots (shifted one-hot
+    placement off the run's first hit), derives the per-(key, sid)
+    occurrence rank m and group size mult from the extracted sid
+    sequence (log-shift run propagation over the slot axis), packs the
+    single-chip meta word keyovf(1)|mult(7)|m(4)|sid(20)
+    (ops/query_e2e.py layout), and ships (meta, bgnori, end) triples —
+    3*postings_cap u32 per key, INDEPENDENT of n_targets — back through
+    all_to_all #2 in the exact send layout.  The querying device
+    unsorts to original pair order and reuses the single-chip
+    expand_postings + chain lanes: live per-query and per-(pair, sid)
+    count filters (run_len * mult, aln.rs:203-228), (query, target)
+    lanes with per-lane q_bgn-sorted anchors, chain_scores_fast.
 
     Takes (seqs_u8, lengths, rids, *probe_planes[7]) with the planes
     from sharded_index_v2_step (sharded along the axis).  Returns dict
-    with anchors (B*n_targets, Pc, 6) u32, gvalid, scores, prev (all
-    sharded query-major), dup/inexact (per-group flags), and psum'd
-    overflow flags.  Chain traceback stays on host (as in the
-    single-chip path).
+    with anchors (B*n_targets, Pc*M, 6) u32, gvalid, scores, prev (all
+    sharded query-major), dup/inexact/mult_ovf (per-group flags),
+    row_ovf (per local query: a hit key had > postings_cap postings ->
+    whole-query host fallback), and psum'd overflow flags.  Chain
+    traceback stays on host (as in the single-chip path).
     """
     from jax import shard_map
 
     from ..ops.chain import chain_scores_fast
+    from ..ops.query_e2e import (
+        META_EMPTY as QE_META_EMPTY,
+        SID_BITS as QE_SID_BITS,
+        M_BITS as QE_M_BITS,
+        dup_pair_counts,
+        expand_postings,
+    )
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     bits = probe_bits_for(shard_capacity)
     C = n_targets
+    Pp = postings_cap
+    assert Pp <= 127, "postings_cap > 127 overflows the 7-bit mult field"
 
     def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3, psid, pbgn, pend):
         B_loc = seqs_u8.shape[0]
@@ -679,18 +701,14 @@ def sharded_query_v2_e2e_step(
         w0s = (sh0 << 8) | (sl0 >> 24)  # hash0 >> 24, 32 bits
         n_valid = fva.sum().astype(jnp.int32)
 
-        # in-query duplicate-pair count filter (aln.rs:159-228): a pair
-        # whose key occurs more than min(max_count, max_count_query,
-        # max_count_target) times in ITS OWN query's pair list
-        # contributes no hits (per-(key,sid) multiplicity is 1 in the v2
-        # shard, so the per-target filter reduces to the same count).
-        # Counted per query ROW via the shared helper — a flat count
-        # over the local batch would merge duplicate runs from
-        # different queries and over-filter (round-3 review finding).
-        from ..ops.query_e2e import dup_pair_counts
-        count_cap = min(max_count, max_count_query, max_count_target)
+        # in-query duplicate-pair count filter (aln.rs:203-211), counted
+        # per query ROW via the shared helper — a flat count over the
+        # local batch would merge duplicate runs from different queries
+        # and over-filter (round-3 review finding).  The per-(pair, sid)
+        # target filter runs separately inside expand_postings with the
+        # true multiplicity (run_len * mult, aln.rs:213-228).
         run_len = dup_pair_counts((q_h0, q_l0, q_h1, q_l1), cvalid)
-        count_ok = run_len <= count_cap
+        count_ok = run_len <= min(max_count, max_count_query)
         per = jnp.uint32(((1 << 24) // n_dev) << 8)
         bounds = jnp.arange(1, n_dev, dtype=jnp.uint32) * per
         offs = jnp.searchsorted(w0s, bounds).astype(jnp.int32)
@@ -724,7 +742,7 @@ def sharded_query_v2_e2e_step(
             for kk, v in buf.items()
         }
 
-        # ---- owner side: probe + slot-aligned postings extraction -----
+        # ---- owner side: probe + contiguous-run postings compaction ----
         bucket = (recv["l0"] >> (32 - bits)).astype(jnp.int32)
         r0 = jnp.take(p0, bucket, axis=0)
         r1 = jnp.take(p1, bucket, axis=0)
@@ -740,68 +758,147 @@ def sharded_query_v2_e2e_step(
             & (r2 == recv["h1"][:, None])
             & (r3 == recv["l1"][:, None])
             & valid_recv[:, None]
-        )  # (Q, W) — all postings of the key in this shard
+        )  # (Q, W) — all postings of the key, ONE contiguous run
         rsid = jnp.take(psid, bucket, axis=0)
         rbgn = jnp.take(pbgn, bucket, axis=0)
         rend = jnp.take(pend, bucket, axis=0)
-        hb_planes = []
-        he_planes = []
-        multi = jnp.zeros(hit.shape[:1], dtype=jnp.bool_)
-        for c in range(C):  # static target-slot loop
-            sel = hit & (rsid == U32(c))
-            multi = multi | (sel.sum(axis=1) > 1)
-            hv = sel.any(axis=1)
-            hb_planes.append(jnp.where(sel, rbgn, U32(0)).sum(axis=1))
-            he_planes.append(
-                (hv.astype(U32) << 31)
-                | jnp.where(sel, rend, U32(0)).sum(axis=1)
+
+        W = hit.shape[1]
+        w_iota = jnp.arange(W, dtype=jnp.int32)
+        count = hit.sum(axis=1).astype(jnp.int32)  # (Q,)
+        keyovf = count > Pp  # > postings_cap signatures -> truncated
+        first = jnp.min(
+            jnp.where(hit, w_iota[None, :], W), axis=1
+        )  # (Q,) run start (W if no hit)
+        pos = w_iota[None, :] - first[:, None]  # (Q, W) slot rank
+
+        # compact the run into Pp slots: slot j <- row position first+j
+        # (one masked reduce per slot; <=1 match each, so sum = select)
+        e_sid, e_bgnori, e_end = [], [], []
+        for j in range(Pp):
+            sel = hit & (pos == j)
+            e_sid.append(jnp.where(sel, rsid, U32(0)).sum(axis=1))
+            e_bgnori.append(jnp.where(sel, rbgn, U32(0)).sum(axis=1))
+            e_end.append(jnp.where(sel, rend, U32(0)).sum(axis=1))
+        e_sid = jnp.stack(e_sid, axis=1)      # (Q, Pp)
+        e_bgnori = jnp.stack(e_bgnori, axis=1)
+        e_end = jnp.stack(e_end, axis=1)
+        j_iota = jnp.arange(Pp, dtype=jnp.int32)
+        e_valid = j_iota[None, :] < count[:, None]
+
+        # per-(key, sid) occurrence rank m and group size mult from the
+        # extracted sid sequence: postings keep (sid, position) order, so
+        # same-sid groups are contiguous runs over the slot axis
+        prev_sid = jnp.concatenate(
+            [jnp.full((e_sid.shape[0], 1), U32(0xFFFFFFFF)), e_sid[:, :-1]],
+            axis=1,
+        )
+        newrun = e_valid & ((j_iota == 0)[None, :] | (e_sid != prev_sid))
+        next_valid = jnp.concatenate(
+            [e_valid[:, 1:], jnp.zeros((e_valid.shape[0], 1), jnp.bool_)],
+            axis=1,
+        )
+        next_newrun = jnp.concatenate(
+            [newrun[:, 1:], jnp.ones((newrun.shape[0], 1), jnp.bool_)],
+            axis=1,
+        )
+        lastrun = e_valid & (next_newrun | ~next_valid)
+        run_start = jnp.where(newrun, j_iota[None, :], 0)
+        run_end = jnp.where(lastrun, j_iota[None, :], Pp - 1)
+        d2 = 1
+        while d2 < Pp:  # log-shift propagate run bounds across the run
+            run_start = jnp.maximum(
+                run_start,
+                jnp.concatenate(
+                    [
+                        jnp.zeros((run_start.shape[0], d2), jnp.int32),
+                        run_start[:, :-d2],
+                    ],
+                    axis=1,
+                ),
             )
-        multi_overflow = multi.any()
-        back = jnp.stack(hb_planes + he_planes, axis=1)  # (Q, 2C)
+            run_end = jnp.minimum(
+                run_end,
+                jnp.concatenate(
+                    [
+                        run_end[:, d2:],
+                        jnp.full((run_end.shape[0], d2), Pp - 1, jnp.int32),
+                    ],
+                    axis=1,
+                ),
+            )
+            d2 *= 2
+        e_m = (j_iota[None, :] - run_start).astype(U32)
+        e_mult = (run_end - run_start + 1).astype(U32)
+
+        # single-chip keyovf semantics (ops/query_e2e.py build_index):
+        # truncated postings OR an m beyond the 4-bit field -> the whole
+        # key is unreliable -> row_ovf/host fallback on the query side
+        keyovf = keyovf | (e_valid & (e_m > U32(15))).any(axis=1)
+
+        # single-chip meta word (ops/query_e2e.py): slot 0 carries keyovf
+        meta = (
+            (keyovf.astype(U32) << 31)[:, None]
+            | (jnp.minimum(e_mult, U32(127)) << (QE_SID_BITS + QE_M_BITS))
+            | (jnp.minimum(e_m, U32(15)) << QE_SID_BITS)
+            | e_sid
+        )
+        meta = jnp.where(e_valid, meta, U32(QE_META_EMPTY))
+
+        back = jnp.concatenate(
+            [meta, e_bgnori, e_end], axis=1
+        )  # (Q, 3*Pp)
+        NB = 3 * Pp
         back = jax.lax.all_to_all(
-            back.reshape(n_dev, route_cap, 2 * C), axis, 0, 0
-        )  # (n_dev, route_cap, 2C) in the original send layout
+            back.reshape(n_dev, route_cap, NB), axis, 0, 0
+        )  # (n_dev, route_cap, 3Pp) in the original send layout
 
         # ---- reassemble into sorted-pair order, then unsort ------------
-        hits_sorted = jnp.zeros((n_loc, 2 * C), dtype=U32)
+        hits_sorted = jnp.full((n_loc, NB), U32(QE_META_EMPTY))
+        hits_sorted = hits_sorted.at[:, Pp:].set(U32(0))
         for d in range(n_dev):
             cur = jax.lax.dynamic_slice(
-                hits_sorted, (starts[d], 0), (route_cap, 2 * C)
+                hits_sorted, (starts[d], 0), (route_cap, NB)
             )
             new = jnp.where(masks[d][:, None], back[d], cur)
             hits_sorted = jax.lax.dynamic_update_slice(
                 hits_sorted, new, (starts[d], 0)
             )
         unsort = jax.lax.sort(
-            (perm,) + tuple(hits_sorted[:, j] for j in range(2 * C)),
+            (perm,) + tuple(hits_sorted[:, j] for j in range(NB)),
             num_keys=1,
         )
-        hits = jnp.stack(unsort[1:], axis=1)  # (n_loc, 2C) original order
+        hits = jnp.stack(unsort[1:], axis=1)  # (n_loc, 3Pp) original order
 
-        hb = hits[:, :C].reshape(B_loc, Pc, C)
-        he = hits[:, C:].reshape(B_loc, Pc, C)
-        slot_valid = (he >> 31) != 0
-        t_ori = hb >> 31
-        t_bgn = hb & U32(0x7FFFFFFF)
-        t_end = he & U32(0x7FFFFFFF)
-        hitmask = (cvalid & count_ok)[:, :, None] & slot_valid
+        meta_rows = hits[:, :Pp].reshape(B_loc, Pc, Pp)
+        bgnori_rows = hits[:, Pp:2 * Pp].reshape(B_loc, Pc, Pp)
+        end_rows = hits[:, 2 * Pp:].reshape(B_loc, Pc, Pp)
+        base_hit = cvalid & count_ok
+        ex = expand_postings(
+            meta_rows, bgnori_rows, end_rows, base_hit, run_len,
+            C, M, max_count_target,
+        )
 
-        def lane(v):
-            return v.transpose(0, 2, 1).reshape(B_loc * C, Pc)
+        N = Pc * M
 
-        def lane_q(v):
+        def lane(v):  # (B_loc, C, Pc, M) -> (G, N)
+            return v.reshape(B_loc * C, N)
+
+        def lane_q(v):  # (B_loc, Pc) -> (G, N)
             return jnp.broadcast_to(
-                v[:, None, :], (B_loc, C, Pc)
-            ).reshape(B_loc * C, Pc)
+                v[:, None, :, None], (B_loc, C, Pc, M)
+            ).reshape(B_loc * C, N)
 
+        t_ori = ex["t_bgnori"] >> 31
+        t_bgn = ex["t_bgnori"] & U32(0x7FFFFFFF)
         anchors = jnp.stack(
             [
                 lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
-                lane(t_bgn), lane(t_end), lane(t_ori),
+                lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
             ],
             axis=-1,
         )
-        gvalid = lane(hitmask)
+        gvalid = lane(ex["hv"])
         scores, prev, dup, inexact = chain_scores_fast(
             anchors, gvalid, penalty, -1, False,
             lookback=lookback, max_span=max_span,
@@ -814,10 +911,12 @@ def sharded_query_v2_e2e_step(
             prev=prev,
             dup=dup,
             inexact=inexact,
+            mult_ovf=ex["grp_ovf"].reshape(B_loc * C),
+            row_ovf=ex["row_ovf"],
             n_hits=jax.lax.psum(gvalid.sum(), axis),
             compact_overflow=agg(c_ovf | ovf2),
             route_overflow=agg(route_overflow),
-            multi_overflow=agg(multi_overflow),
+            postings_overflow=agg(ex["row_ovf"].any()),
         )
 
     sharded = shard_map(
@@ -830,8 +929,9 @@ def sharded_query_v2_e2e_step(
         ),
         out_specs=dict(
             anchors=P(axis), gvalid=P(axis), scores=P(axis), prev=P(axis),
-            dup=P(axis), inexact=P(axis), n_hits=P(),
-            compact_overflow=P(), route_overflow=P(), multi_overflow=P(),
+            dup=P(axis), inexact=P(axis), mult_ovf=P(axis), row_ovf=P(axis),
+            n_hits=P(),
+            compact_overflow=P(), route_overflow=P(), postings_overflow=P(),
         ),
         check_vma=False,
     )

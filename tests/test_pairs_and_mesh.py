@@ -409,8 +409,10 @@ def test_sharded_e2e_query_content_matches_host_pipeline():
     e2e = pmesh.sharded_query_v2_e2e_step(
         mesh, cap, n_targets=B, slots2=96
     )(seqs_d, lens_d, rids_d, *v2["probe"]["planes"])
-    for flag in ("compact_overflow", "route_overflow", "multi_overflow"):
+    for flag in ("compact_overflow", "route_overflow", "postings_overflow"):
         assert not bool(e2e[flag]), flag
+    assert not np.asarray(e2e["row_ovf"]).any()
+    assert not np.asarray(e2e["mult_ovf"]).any()
     anchors = np.asarray(e2e["anchors"])
     gvalid = np.asarray(e2e["gvalid"])
     scores = np.asarray(e2e["scores"])
@@ -498,7 +500,7 @@ def test_sharded_e2e_count_filter_binds():
     e2e = pmesh.sharded_query_v2_e2e_step(
         mesh, cap, n_targets=B, slots2=96, max_count=1
     )(q_d, ql_d, rids_d, *v2["probe"]["planes"])
-    assert not bool(e2e["multi_overflow"])
+    assert not bool(e2e["postings_overflow"])
     anchors = np.asarray(e2e["anchors"])
     gvalid = np.asarray(e2e["gvalid"])
 
@@ -594,3 +596,112 @@ def test_sharded_count_filter_is_per_query_at_b_loc_2():
                    for row in anchors[g][gvalid[g]]]
             host = [(*lft, *t) for lft, t in th.get(c, [])]
             assert dev == host, f"b={b} sid={c}"
+
+
+def test_sharded_e2e_query_multiplicity_and_ragged():
+    """General-layout distributed e2e (round-4 VERDICT task 1): targets
+    carry a tandem-TRIPLED block (per-(key, sid) multiplicity 3 in the
+    shard postings), query lengths are RAGGED across devices, and the
+    per-target count filter runs live — anchors and chains must match
+    the host pipeline exactly, with no overflow flags."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.ops import chain as chain_ops
+    from pgrtk_tpu.ops import query_e2e
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    B, L = 8, 16384
+    rng = np.random.default_rng(41)
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+
+    def mutate(seq, rate):
+        out = seq.copy()
+        n = rng.binomial(len(seq), rate)
+        pos = rng.choice(len(seq), size=n, replace=False)
+        out[pos] = (out[pos] + rng.integers(1, 4, size=n)) % 4
+        return out
+
+    def tandem(seq, bgn, end, copies):
+        return np.concatenate(
+            [seq[:end]] + [seq[bgn:end]] * (copies - 1) + [seq[end:]]
+        )
+
+    # targets: tripled 1.5-kb block => multiplicity-3 postings runs
+    targets = np.stack(
+        [tandem(mutate(base, 2e-4), 4000, 8000, 3) for _ in range(B)]
+    )
+    LT = targets.shape[1]
+    pad = (-LT) % 512
+    targets_p = np.pad(targets, ((0, 0), (0, pad)))
+    # queries: ragged true lengths (trailing bases cut per device)
+    qfull = np.stack([mutate(base, 2e-4) for _ in range(B)])
+    qlens = np.asarray(
+        [L - 512 * (b % 4) for b in range(B)], dtype=np.int32
+    )
+    for b in range(B):
+        qfull[b, qlens[b]:] = 0
+
+    mesh = pmesh.make_mesh(8)
+    axis = mesh.axis_names[0]
+    shard = NamedSharding(mesh, P(axis, None))
+    shard1 = NamedSharding(mesh, P(axis))
+    t_d = jax.device_put(jnp.asarray(targets_p), shard)
+    tl_d = jax.device_put(jnp.full(B, LT, jnp.int32), shard1)
+    rids_d = jax.device_put(jnp.arange(B, dtype=jnp.uint32), shard1)
+    q_d = jax.device_put(jnp.asarray(qfull), shard)
+    ql_d = jax.device_put(jnp.asarray(qlens), shard1)
+
+    cap = 8192
+    v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(t_d, tl_d, rids_d)
+    assert not bool(v2["shard_overflow"]) and not bool(v2["probe_overflow"])
+    e2e = pmesh.sharded_query_v2_e2e_step(
+        mesh, cap, n_targets=B, slots2=96, M=4, postings_cap=32
+    )(q_d, ql_d, rids_d, *v2["probe"]["planes"])
+    for flag in ("compact_overflow", "route_overflow", "postings_overflow"):
+        assert not bool(e2e[flag]), flag
+    assert not np.asarray(e2e["row_ovf"]).any()
+    assert not np.asarray(e2e["mult_ovf"]).any()
+    anchors = np.asarray(e2e["anchors"])
+    gvalid = np.asarray(e2e["gvalid"])
+    scores = np.asarray(e2e["scores"])
+    prev = np.asarray(e2e["prev"])
+    dup = np.asarray(e2e["dup"])
+    inexact = np.asarray(e2e["inexact"])
+
+    # host arbiter over the same corpus (multiplicity-3 index)
+    idx = query_e2e.build_index(targets, n_decoys=0)
+    assert idx["n_multi"] > 0
+    lookup = idx["lookup"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    BASES = b"ACGT"
+    dev_chains = chain_ops.traceback(scores, prev, gvalid, anchors)
+    n_anchors_total = 0
+    n_chain_groups = 0
+    for b in range(B):
+        qbytes = bytes(
+            bytearray(BASES[v] for v in qfull[b, : qlens[b]])
+        )
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []), qbytes, spec
+        )
+        th = query_mod.collect_target_hits(raw)
+        host_chains = dict(query_mod.query_fragment_to_hps(raw, 0.025))
+        for c in range(B):
+            g = b * B + c
+            dev = [tuple(int(v) for v in row)
+                   for row in anchors[g][gvalid[g]]]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host, f"anchor mismatch b={b} sid={c}"
+            n_anchors_total += len(host)
+            if not dup[g] and not inexact[g] and len(host) > 1:
+                hch, dch = host_chains[c], dev_chains[g]
+                assert len(hch) == len(dch), (b, c)
+                for (hs, htr), (ds, dtr) in zip(hch, dch):
+                    assert np.float32(hs) == np.float32(ds), (b, c)
+                    assert htr == dtr, (b, c)
+                n_chain_groups += 1
+    assert n_anchors_total > 0
+    assert n_chain_groups >= (B * B) * 8 // 10

@@ -1,11 +1,15 @@
 """Device end-to-end query pipeline (ops/query_e2e.py) vs the host
-pipeline (core/query.py) on a synthetic mini-pangenome.
+pipeline (core/query.py) on synthetic mini-pangenomes.
 
-The device path runs sketch -> pair -> probe -> postings row expansion
--> chain DP inside one traceable function; the host path is the parity-
-tested reference implementation of seq_db.rs:1198-1257 +
-aln.rs:147-242.  Chains must match exactly (scores bit-equal, tracks
-tuple-equal) for every (query, target) group.
+The device path runs sketch -> pair -> probe -> postings expansion ->
+count filters -> chain DP inside one traceable function; the host path
+is the parity-tested reference implementation of seq_db.rs:1198-1257 +
+aln.rs:147-242.  Round 4 generalized the postings layout: rows carry
+the target sid AS DATA with arbitrary per-(key, sid) multiplicity, so
+these tests cover repeat-containing corpora (tandem duplications ->
+mult > 1), target counts up to 64, live count filters, and the
+truncation/overflow flag contracts.  Chains must match exactly (scores
+bit-equal, tracks tuple-equal) for every (query, target) group.
 """
 import numpy as np
 import pytest
@@ -25,74 +29,124 @@ def _mutate(base, rate, rng):
     return out
 
 
+def _tandem(base, bgn, end, copies):
+    """Insert (copies-1) extra adjacent copies of base[bgn:end]."""
+    return np.concatenate(
+        [base[:end]] + [base[bgn:end]] * (copies - 1) + [base[end:]]
+    )
+
+
+def _run_step(idx, queries, **kw):
+    import jax
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import query_e2e
+
+    B, L = queries.shape
+    pad = (-L) % 512
+    padded = np.pad(queries, ((0, 0), (0, pad)))
+    probe = idx["probe"]
+    res = jax.jit(
+        query_e2e.query_e2e_step,
+        static_argnames=(
+            "probe_bits", "C", "M", "slots2", "max_count",
+            "max_count_query", "max_count_target",
+        ),
+    )(
+        jnp.asarray(padded),
+        jnp.full((B,), L, jnp.int32),
+        probe["bits"],
+        [jnp.asarray(probe["planes"][i]) for i in range(4)],
+        jnp.asarray(probe["fence"]),
+        jnp.asarray(idx["p_meta"]),
+        jnp.asarray(idx["p_bgnori"]),
+        jnp.asarray(idx["p_end"]),
+        idx["C"],
+        **kw,
+    )
+    return {k: np.asarray(v) for k, v in res.items()}
+
+
+def _host_raw(idx, q2bit):
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+
+    lookup = idx["lookup"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    return query_mod.raw_query_fragment(
+        lambda s0, s1: lookup.get((s0, s1), []), _to_bytes(q2bit), spec
+    )
+
+
+def _assert_anchor_parity(idx, queries, res, C, **filter_kw):
+    from pgrtk_tpu.core import query as query_mod
+
+    B = queries.shape[0]
+    anchors, gvalid = res["anchors"], res["gvalid"]
+    n_total = 0
+    for b in range(B):
+        th = query_mod.collect_target_hits(
+            _host_raw(idx, queries[b]), **filter_kw
+        )
+        for c in range(C):
+            g = b * C + c
+            dev = [tuple(int(v) for v in row)
+                   for row in anchors[g][gvalid[g]]]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host, f"anchor mismatch b={b} sid={c}"
+            n_total += len(host)
+    return n_total
+
+
 @pytest.fixture(scope="module")
 def synth():
+    """Repeat-containing corpus: a 1.5-kb block tandem-TRIPLED in every
+    target (per-(key,sid) multiplicity 3 inside the block) and DOUBLED
+    in the queries (in-query duplicate pairs -> run_len 2)."""
     from pgrtk_tpu.ops import query_e2e
 
     rng = np.random.default_rng(3)
     L, T, B = 16384, 4, 2
     base = rng.integers(0, 4, size=L, dtype=np.uint8)
-    targets = np.stack([_mutate(base, 2e-4, rng) for _ in range(T)])
-    queries = np.stack([_mutate(base, 2e-4, rng) for _ in range(B)])
-    idx = query_e2e.build_synth_index(targets, n_decoys=2000, seed=11)
-    return dict(idx=idx, targets=targets, queries=queries, L=L, T=T, B=B)
+    targets = np.stack(
+        [_tandem(_mutate(base, 2e-4, rng), 6000, 7500, 3) for _ in range(T)]
+    )
+    queries = np.stack(
+        [_tandem(_mutate(base, 2e-4, rng), 6000, 7500, 2) for _ in range(B)]
+    )
+    idx = query_e2e.build_index(targets, n_decoys=2000, seed=11)
+    assert idx["n_multi"] > 0  # tandem copies -> real multiplicity
+    assert idx["n_truncated"] == 0
+    return dict(idx=idx, targets=targets, queries=queries, B=B)
 
 
 def test_device_e2e_query_matches_host_pipeline(synth):
-    import jax
-    import jax.numpy as jnp
-
     from pgrtk_tpu.core import query as query_mod
-    from pgrtk_tpu.core.spec import ShmmrSpec
     from pgrtk_tpu.ops import chain as chain_ops
-    from pgrtk_tpu.ops import query_e2e
 
     idx = synth["idx"]
     queries = synth["queries"]
-    B, L, C = synth["B"], synth["L"], synth["T"]
-    assert idx["n_multi_dropped"] < 20  # synthetic data is near-unique
+    B, C = synth["B"], idx["C"]
 
-    probe = idx["probe"]
-    res = jax.jit(
-        query_e2e.query_e2e_step,
-        static_argnames=("probe_bits", "C"),
-    )(
-        jnp.asarray(queries),
-        jnp.full((B,), L, jnp.int32),
-        probe["bits"],
-        [jnp.asarray(probe["planes"][i]) for i in range(4)],
-        jnp.asarray(probe["fence"]),
-        jnp.asarray(idx["postings"]),
-        C,
-    )
+    res = _run_step(idx, queries, M=4)
     assert not bool(res["overflow"])
-    anchors = np.asarray(res["anchors"])
-    gvalid = np.asarray(res["gvalid"])
-    scores = np.asarray(res["scores"])
-    prev = np.asarray(res["prev"])
-    dup = np.asarray(res["dup"])
-    inexact = np.asarray(res["inexact"])
-    assert not dup.any() and not inexact.any()
+    assert not res["row_ovf"].any()
+    assert not res["mult_ovf"].any()
+    assert not res["dup"].any() and not res["inexact"].any()
 
-    dev_chains = chain_ops.traceback(scores, prev, gvalid, anchors)
-
-    # host pipeline per query
-    spec = ShmmrSpec(80, 56, 4, 64, True)
-    lookup = idx["lookup"]
+    dev_chains = chain_ops.traceback(
+        res["scores"], res["prev"], res["gvalid"], res["anchors"]
+    )
+    gvalid = res["gvalid"]
     n_groups_checked = 0
     for b in range(B):
-        raw = query_mod.raw_query_fragment(
-            lambda s0, s1: lookup.get((s0, s1), []),
-            _to_bytes(queries[b]),
-            spec,
+        host = dict(
+            query_mod.query_fragment_to_hps(_host_raw(idx, queries[b]), 0.025)
         )
-        host = dict(query_mod.query_fragment_to_hps(raw, 0.025))
         for c in range(C):
             g = b * C + c
             n_anchors = int(gvalid[g].sum())
             if n_anchors <= 1:
-                # the host path skips <=1-anchor groups entirely, so it
-                # must not have chains the device lost
                 assert c not in host, f"device lost anchors b={b} sid={c}"
                 continue
             assert c in host, f"host missing group b={b} sid={c}"
@@ -108,117 +162,220 @@ def test_device_e2e_query_matches_host_pipeline(synth):
 
 def test_anchor_sets_match_host_collect(synth):
     """The device (query, target) anchor lanes must equal the host
-    count-filtered per-target hit lists (collect_target_hits)."""
-    import jax
-    import jax.numpy as jnp
+    count-filtered per-target hit lists — including the multiplicity-3
+    postings of the tandem block, in reference order."""
+    idx = synth["idx"]
+    queries = synth["queries"]
+    res = _run_step(idx, queries, M=4)
+    n = _assert_anchor_parity(idx, queries, res, idx["C"])
+    assert n > 0
 
+
+def test_target_count_filter_fires_and_matches(synth):
+    """run_len * mult exceeds a small max_count_target inside the tandem
+    block (queries carry the key twice, targets three times -> count 6):
+    the device must drop exactly the hits the host drops."""
     from pgrtk_tpu.core import query as query_mod
-    from pgrtk_tpu.core.spec import ShmmrSpec
-    from pgrtk_tpu.ops import query_e2e
 
     idx = synth["idx"]
     queries = synth["queries"]
-    B, L, C = synth["B"], synth["L"], synth["T"]
-    probe = idx["probe"]
-    res = jax.jit(
-        query_e2e.query_e2e_step,
-        static_argnames=("probe_bits", "C"),
-    )(
-        jnp.asarray(queries),
-        jnp.full((B,), L, jnp.int32),
-        probe["bits"],
-        [jnp.asarray(probe["planes"][i]) for i in range(4)],
-        jnp.asarray(probe["fence"]),
-        jnp.asarray(idx["postings"]),
-        C,
+    C = idx["C"]
+
+    res_def = _run_step(idx, queries, M=4)
+    res_f = _run_step(idx, queries, M=4, max_count_target=4)
+    _assert_anchor_parity(
+        idx, queries, res_f, C, max_count_target=4
     )
-    anchors = np.asarray(res["anchors"])
-    gvalid = np.asarray(res["gvalid"])
-    spec = ShmmrSpec(80, 56, 4, 64, True)
-    lookup = idx["lookup"]
+    # the filter actually bound
+    assert res_f["gvalid"].sum() < res_def["gvalid"].sum()
+    # and the host agrees it bound
+    th_all = query_mod.collect_target_hits(_host_raw(idx, queries[0]))
+    th_f = query_mod.collect_target_hits(
+        _host_raw(idx, queries[0]), max_count_target=4
+    )
+    assert sum(map(len, th_f.values())) < sum(map(len, th_all.values()))
+
+
+def test_query_count_filter_fires_and_matches(synth):
+    """max_count=1 drops every duplicated pair of the query's doubled
+    block (aln.rs:203-211), exactly as the host does."""
+    idx = synth["idx"]
+    queries = synth["queries"]
+    res = _run_step(idx, queries, M=4, max_count=1)
+    _assert_anchor_parity(idx, queries, res, idx["C"], max_count=1)
+    res_def = _run_step(idx, queries, M=4)
+    assert res["gvalid"].sum() < res_def["gvalid"].sum()
+
+
+def test_mult_cap_flags_groups(synth):
+    """M=1 cannot place the multiplicity-3 postings: the affected
+    (query, target) groups must raise mult_ovf (host-fallback contract)
+    while untouched groups still match the host exactly."""
+    from pgrtk_tpu.core import query as query_mod
+
+    idx = synth["idx"]
+    queries = synth["queries"]
+    C = idx["C"]
+    res = _run_step(idx, queries, M=1)
+    mult_ovf = res["mult_ovf"].reshape(-1, C)
+    assert mult_ovf.any()  # tandem groups flagged
+    anchors, gvalid = res["anchors"], res["gvalid"]
+    for b in range(queries.shape[0]):
+        th = query_mod.collect_target_hits(_host_raw(idx, queries[b]))
+        for c in range(C):
+            if mult_ovf[b, c]:
+                continue  # incomplete lane, host fallback
+            g = b * C + c
+            dev = [tuple(int(v) for v in row)
+                   for row in anchors[g][gvalid[g]]]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host
+
+
+def test_truncated_key_flags_rows():
+    """P smaller than a key's postings count sets keyovf at build; any
+    query touching that key raises row_ovf (whole-query host fallback)."""
+    from pgrtk_tpu.ops import query_e2e
+
+    rng = np.random.default_rng(5)
+    L, T = 8192, 6
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    targets = np.stack([_mutate(base, 1e-4, rng) for _ in range(T)])
+    queries = np.stack([_mutate(base, 1e-4, rng) for _ in range(2)])
+    idx = query_e2e.build_index(targets, n_decoys=200, seed=6, P=4)
+    assert idx["n_truncated"] > 0  # every shared key has 6 postings > 4
+    res = _run_step(idx, queries, M=2)
+    assert res["row_ovf"].all()
+    # with room for everything, no flag and full parity
+    idx2 = query_e2e.build_index(targets, n_decoys=200, seed=6, P=8)
+    assert idx2["n_truncated"] == 0
+    res2 = _run_step(idx2, queries, M=2)
+    assert not res2["row_ovf"].any()
+    _assert_anchor_parity(idx2, queries, res2, idx2["C"])
+
+
+def test_sixty_four_targets():
+    """Contig-scale target count: 64 targets, multiplicity-2 block, full
+    anchor AND chain parity (VERDICT round-3 task 1 'done' criterion)."""
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.ops import chain as chain_ops
+    from pgrtk_tpu.ops import query_e2e
+
+    rng = np.random.default_rng(12)
+    L, T, B = 4096, 64, 2
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    targets = np.stack(
+        [_tandem(_mutate(base, 3e-4, rng), 1500, 2300, 2) for _ in range(T)]
+    )
+    queries = np.stack([_mutate(base, 3e-4, rng) for _ in range(B)])
+    idx = query_e2e.build_index(targets, n_decoys=500, seed=13, P=160)
+    C = idx["C"]
+    assert C == 64
+    assert idx["n_multi"] > 0
+    assert idx["n_truncated"] == 0
+    res = _run_step(idx, queries, M=2, slots2=128)
+    assert not bool(res["overflow"])
+    assert not res["row_ovf"].any() and not res["mult_ovf"].any()
+    assert not res["dup"].any() and not res["inexact"].any()
+    n = _assert_anchor_parity(idx, queries, res, C)
+    assert n > 0
+    dev_chains = chain_ops.traceback(
+        res["scores"], res["prev"], res["gvalid"], res["anchors"]
+    )
+    n_chain_groups = 0
     for b in range(B):
-        raw = query_mod.raw_query_fragment(
-            lambda s0, s1: lookup.get((s0, s1), []),
-            _to_bytes(queries[b]),
-            spec,
+        host = dict(
+            query_mod.query_fragment_to_hps(_host_raw(idx, queries[b]), 0.025)
         )
-        th = query_mod.collect_target_hits(raw)
         for c in range(C):
             g = b * C + c
-            dev = [
-                tuple(int(v) for v in row)
-                for row in anchors[g][gvalid[g]]
-            ]
-            host = [(*l, *t) for l, t in th.get(c, [])]
-            assert dev == host, f"anchor mismatch b={b} sid={c}"
+            if int(res["gvalid"][g].sum()) <= 1:
+                assert c not in host
+                continue
+            hch, dch = host[c], dev_chains[g]
+            assert len(hch) == len(dch)
+            for (hs, htr), (ds, dtr) in zip(hch, dch):
+                assert np.float32(hs) == np.float32(ds)
+                assert htr == dtr
+            n_chain_groups += 1
+    assert n_chain_groups >= B * C // 2
 
 
 def test_in_query_duplicate_pair_count_filter():
-    """A query with a tandem-duplicated block carries duplicate pair
-    keys; with max_count=1 the host pipeline drops their hits and the
-    device path must match exactly (and still match at the default 128
-    where the filter does not bind)."""
-    import jax
-    import jax.numpy as jnp
+    """Round-3 regression: a query with a tandem-duplicated block carries
+    duplicate pair keys; with max_count=1 the host pipeline drops their
+    hits and the device path must match exactly (and still match at the
+    default 128 where the filter does not bind)."""
+    from collections import Counter
 
     from pgrtk_tpu.core import query as query_mod
-    from pgrtk_tpu.core.spec import ShmmrSpec
     from pgrtk_tpu.ops import query_e2e
 
     rng = np.random.default_rng(9)
     L, T = 16384, 3
     base = rng.integers(0, 4, size=L, dtype=np.uint8)
     targets = np.stack([_mutate(base, 2e-4, rng) for _ in range(T)])
-    # query: mutated copy with the middle 4 kb tandem-duplicated
     q = _mutate(base, 2e-4, rng)
     q = np.concatenate([q[:8192], q[4096:8192], q[8192:12288]])
     queries = q[None, :]
-    B, LQ = queries.shape
 
-    idx = query_e2e.build_synth_index(targets, n_decoys=500, seed=4)
-    probe = idx["probe"]
-    spec = ShmmrSpec(80, 56, 4, 64, True)
-    lookup = idx["lookup"]
-
-    raw = query_mod.raw_query_fragment(
-        lambda s0, s1: lookup.get((s0, s1), []), _to_bytes(q), spec
-    )
-    # the duplicated block must actually produce duplicate pairs
-    from collections import Counter
-
+    idx = query_e2e.build_index(targets, n_decoys=500, seed=4)
+    raw = _host_raw(idx, q)
     counts = Counter(pair for pair, _p, sigs in raw if sigs)
     assert max(counts.values()) >= 2
 
     for mc in (1, 128):
-        res = jax.jit(
-            query_e2e.query_e2e_step,
-            static_argnames=(
-                "probe_bits", "C", "max_count", "max_count_query",
-                "max_count_target",
-            ),
-        )(
-            queries,
-            jnp.full((B,), LQ, jnp.int32),
-            probe["bits"],
-            [jnp.asarray(probe["planes"][i]) for i in range(4)],
-            jnp.asarray(probe["fence"]),
-            jnp.asarray(idx["postings"]),
-            T,
-            max_count=mc,
-        )
-        anchors = np.asarray(res["anchors"])
-        gvalid = np.asarray(res["gvalid"])
-        th = query_mod.collect_target_hits(raw, max_count=mc)
-        for c in range(T):
-            dev = [
-                tuple(int(v) for v in rrow)
-                for rrow in anchors[c][gvalid[c]]
-            ]
-            host = [(*lft, *t) for lft, t in th.get(c, [])]
-            assert dev == host, f"sid={c} max_count={mc}"
+        res = _run_step(idx, queries, M=2, max_count=mc)
+        _assert_anchor_parity(idx, queries, res, idx["C"], max_count=mc)
         if mc == 1:
-            n_all = sum(len(v) for v in query_mod.collect_target_hits(
-                raw
-            ).values())
-            n_f = sum(len(v) for v in th.values())
+            n_all = sum(
+                len(v) for v in query_mod.collect_target_hits(raw).values()
+            )
+            n_f = sum(
+                len(v)
+                for v in query_mod.collect_target_hits(
+                    raw, max_count=mc
+                ).values()
+            )
             assert n_f < n_all  # the filter actually bound
+
+
+def test_build_index_from_pair_arrays_matches_seq_build():
+    """build_index(pair_arrays=...) must produce identical planes to the
+    sequence path (the bench builds from pre-sketched arrays)."""
+    from pgrtk_tpu.core import sketch as sketch_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import query_e2e
+
+    rng = np.random.default_rng(2)
+    L, T = 8192, 3
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    targets = np.stack(
+        [_tandem(_mutate(base, 2e-4, rng), 3000, 4000, 2) for _ in range(T)]
+    )
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    cols = {kk: [] for kk in ("k0", "k1", "sid", "bgn", "end", "ori")}
+    for sid in range(T):
+        mx, my = sketch_mod.sequence_to_shmmrs_arrays(
+            sid, _to_bytes(targets[sid]), spec, False
+        )
+        h = (mx >> np.uint64(8)).astype(np.uint64)
+        p = ((my & np.uint64(0xFFFFFFFF)) >> np.uint64(1)).astype(
+            np.uint32
+        ) + np.uint32(1)
+        s0, s1 = h[:-1], h[1:]
+        swap = s0 > s1
+        cols["k0"].append(np.where(swap, s1, s0))
+        cols["k1"].append(np.where(swap, s0, s1))
+        cols["sid"].append(np.full(len(s0), sid, np.uint32))
+        cols["bgn"].append(p[:-1])
+        cols["end"].append(p[1:])
+        cols["ori"].append(swap.astype(np.uint32))
+    arrays = {kk: np.concatenate(v) for kk, v in cols.items()}
+
+    a = query_e2e.build_index(targets, n_decoys=50, seed=3)
+    b = query_e2e.build_index(pair_arrays=arrays, n_decoys=50, seed=3)
+    assert np.array_equal(a["keys"], b["keys"])
+    for plane in ("p_meta", "p_bgnori", "p_end"):
+        assert np.array_equal(a[plane], b[plane])
+    assert a["lookup"] == b["lookup"]
