@@ -1,19 +1,31 @@
 """Benchmark: SHIMMER index + query throughput on one chip.
 
-Two timed device pipelines over the same synthetic batch (B x L bases),
-each as N chained data-dependent iterations inside one jit with a scalar
-sync (the hosting tunnel makes per-dispatch host sync unreliable and
-device->host transfers go over the network):
+Two timed device pipelines over a repeat-seeded synthetic pangenome
+(B x L bases), each as N chained data-dependent iterations inside one
+jit with a scalar sync (the hosting tunnel makes per-dispatch host sync
+unreliable and device->host transfers go over the network):
 
   index: batched mode-2 SHIMMER sketch (two-level scan register walk +
          Wang hashing) -> sort-free compaction -> min_span filter ->
          canonical pair construction -> sorted pair table
   query: batched sketch -> compaction -> min_span -> canonical pairs ->
-         bucketed probe of every pair against a >=4M-key index table
-         (ops/probe.py) -> postings-row expansion (count-clipped
-         signature gather) -> count filter -> batched anchor-chain DP
-         (ops/chain.py fast scan kernel) — the full query path of the
-         reference's aln.rs:147-242, not just probe membership
+         in-query duplicate-pair count filter -> bucketed probe of every
+         pair against a >=4M-key index table (ops/probe.py) -> general
+         CSR postings-row expansion (arbitrary per-(key, sid)
+         multiplicity, sid as data) -> per-(pair, sid) target count
+         filter -> batched anchor-chain DP (ops/chain.py fast scan
+         kernel) — the full query path of the reference's
+         aln.rs:147-242, not just probe membership
+
+The corpus is NOT best-case (round-4 change): every haplotype shares a
+3-copy tandem duplication and a 2-copy segmental duplication (so the
+postings carry real per-(key, sid) multiplicity and the chain lanes see
+same-left anchor runs), and the queries carry a 16-copy CNV tandem
+present in only one target, whose postings hit-count (run_len x mult
+>= 225) exceeds the reference's max_count=128 — the per-(pair, sid)
+count filter FIRES inside the timed loop, certified by the stats pass
+before timing.  Index-stage content = the target haplotypes themselves
+(duplicate keys in the final sort, not uniform-random keys).
 
 Headline metric (driver BASELINE.json: "Mseq-bases/s SHIMMER index+query
 per chip"): total bases pushed through BOTH stages / total time.
@@ -107,50 +119,116 @@ def worker(out_path: str):
 
     B, L = 8, 1_048_576
     CHUNK = 512
-    rng = np.random.default_rng(0)
-    arr = jnp.asarray(rng.integers(0, 4, size=(B, L), dtype=np.uint8))
+
+    # ---- repeat-seeded synthetic pangenome.  One base haplotype with a
+    # realistic repeat structure, embedded at fixed offsets so each
+    # repeat block sits strictly inside one 64 kb query chunk:
+    #   * tandem16: a 3 kb unit x16 (48 kb CNV block) — present in the
+    #     base (hence every query) and in target 0 ONLY (targets 1-7
+    #     carry random filler there, a structural variant).  Its pair
+    #     keys have per-(key, sid=0) multiplicity 15-16 and in-query
+    #     run length 15-16, so run_len*mult >= 225 > max_count=128 and
+    #     the reference's per-(pair, sid) count filter fires
+    #     (aln.rs:213-221).  SNPs are excluded from this block so the
+    #     firing is deterministic.
+    #   * tandem3: an 8 kb unit x3, shared by all haplotypes —
+    #     multiplicity-3 postings that PASS the filters and chain as
+    #     same-left anchor runs (3 x 8 targets = 24 postings <= P=32).
+    #   * segdup: a 24 kb block at two loci, shared — multiplicity 2.
+    QCHUNK_BASES = 65_536
+    S16, U16, N16 = 3 * QCHUNK_BASES + 8_192, 3_072, 16
+    E16 = S16 + U16 * N16
+    S3, U3, N3 = 7 * QCHUNK_BASES + 16_384, 8_192, 3
+    SD1 = 9 * QCHUNK_BASES + 4_096
+    SD2 = 13 * QCHUNK_BASES + 4_096
+    SDL = 24_576
+
+    from pgrtk_tpu.utils import synth
+
+    prng = np.random.default_rng(2)
+    base = prng.integers(0, 4, size=L, dtype=np.uint8)
+    # a random unit's perfect tandem is often INVISIBLE to the sketch
+    # (equal-adjacent-hash mers die to the distinctness rule,
+    # shmmrutils.rs:545-548) — pick units verified to survive
+    base[S16:E16] = np.tile(
+        synth.pick_tandem_unit(prng, U16, N16), N16
+    )
+    base[S3:S3 + U3 * N3] = np.tile(
+        synth.pick_tandem_unit(prng, U3, N3), N3
+    )
+    sd = prng.integers(0, 4, SDL, dtype=np.uint8)
+    base[SD1:SD1 + SDL] = sd
+    base[SD2:SD2 + SDL] = sd
+
+    SNP = 1e-4
+
+    def mutate(rng, drop16: bool = False):
+        out = base.copy()
+        if drop16:  # structural variant: replace the CNV block
+            out[S16:E16] = rng.integers(0, 4, E16 - S16, dtype=np.uint8)
+        n = rng.binomial(L, SNP)
+        pos = rng.choice(L, size=n, replace=False)
+        pos = pos[(pos < S16) | (pos >= E16)]  # deterministic CNV block
+        out[pos] = (out[pos] + rng.integers(1, 4, size=len(pos))) % 4
+        return out
+
+    C = 8
+    targets = np.stack(
+        [mutate(prng, drop16=(sid != 0)) for sid in range(C)]
+    )
+
+    arr = jnp.asarray(targets)  # index stage runs on real repeat content
     lens = jnp.full((B,), L, dtype=jnp.int32)
     rids = jnp.arange(B, dtype=jnp.uint32)
 
-    def sketch_pairs(seqs_u8):
-        xh, xl, yl, valid, _ovf = sketch_ops.sketch_compact_mode2(
-            seqs_u8, lens, 56, 4, 64, CHUNK
+    # level-2 sketch compaction widened 144 -> 192: the CNV tandem block
+    # sustains ~4-6 raw mers per 512-base chunk over its whole length,
+    # which overflows the default sizing (tuned for typical density);
+    # certified overflow-free below before timing
+    SK_KW = dict(slots=12, block2=512, slots2=192)
+
+    def sketch_pairs(seqs_u8, seq_lens):
+        xh, xl, yl, valid, ovf = sketch_ops.sketch_compact_mode2(
+            seqs_u8, seq_lens, 56, 4, 64, CHUNK, **SK_KW
         )
         keep = pairs_ops.min_span_filter_gapped(xh, xl, yl, valid, 64)
-        return pairs_ops.pair_mers_gapped(xh, xl, yl, keep)
+        return pairs_ops.pair_mers_gapped(xh, xl, yl, keep), ovf
 
     def index_once(seqs_u8):
-        table = pairs_ops.sort_pairs(sketch_pairs(seqs_u8), rids)
+        pr, ovf = sketch_pairs(seqs_u8, lens)
+        table = pairs_ops.sort_pairs(pr, rids)
         # fold the table into a scalar so iterations chain (data dependency
         # prevents overlap across timed iterations)
         return (
             table["valid"].sum().astype(jnp.uint32)
             + (table["k0_lo"].sum() & jnp.uint32(3))
+            + ovf.astype(jnp.uint32)
         )
 
-    # ---- synthetic pangenome for the END-TO-END query stage: C target
-    # haplotypes and B query haplotypes, all SNP-mutated copies of one
-    # base sequence; the index holds the targets' real shimmer-pair
-    # postings plus random decoy keys up to >=4M total (probe cost of a
-    # production-scale index).  The query stage runs the FULL path of
-    # the reference's aln.rs:147-242: sketch -> pairs -> probe ->
-    # postings row expansion -> per-(query,target) chain DP — parity
-    # with the host pipeline is asserted by tests/test_query_e2e.py. ----
+    # certify the index stage BEFORE timing (the repeat corpus is what
+    # the widened compaction sizing is for; a set flag would mean
+    # silently dropped mers)
+    @jax.jit
+    def _certify_index(seqs_u8):
+        pr, ovf = sketch_pairs(seqs_u8, lens)
+        return pr["pair_valid"].sum().astype(jnp.int32), ovf
+
+    n_pairs_idx, ovf_idx = (int(v) for v in _certify_index(arr))
+    _emit(out_path, {
+        "stage": "index_certify", "n_pairs": n_pairs_idx,
+        "overflow": ovf_idx,
+    })
+    assert ovf_idx == 0, "index sketch compaction overflowed"
+
+    # ---- END-TO-END query stage: B query haplotypes (SNP-mutated
+    # copies of the base, INCLUDING the CNV tandem) against the C-target
+    # index; the index holds the targets' real shimmer-pair postings
+    # (multiplicity up to 16) plus random decoy keys up to >=4M total
+    # (probe cost of a production-scale index).  The query stage runs
+    # the FULL path of the reference's aln.rs:147-242 — parity with the
+    # host pipeline is asserted by tests/test_query_e2e.py. ----
     from pgrtk_tpu.ops import query_e2e
 
-    C = 8
-    SNP = 1e-4
-    prng = np.random.default_rng(2)
-    base = prng.integers(0, 4, size=L, dtype=np.uint8)
-
-    def mutate(rng):
-        out = base.copy()
-        n = rng.binomial(L, SNP)
-        pos = rng.choice(L, size=n, replace=False)
-        out[pos] = (out[pos] + rng.integers(1, 4, size=n)) % 4
-        return out
-
-    targets = np.stack([mutate(prng) for _ in range(C)])
     # queries: the same haplotype content cut into 64 kb ROI-scale
     # chunks — more (query, target) chain lanes fill the VPU's 128-lane
     # axis (measured sweep at equal total bases: QCHUNK=4/8/16/32 ->
@@ -161,14 +239,22 @@ def worker(out_path: str):
         B * QCHUNK, L // QCHUNK
     )
     BQ, LQ = queries.shape
-    idx = query_e2e.build_synth_index(
-        targets, n_decoys=N_INDEX_KEYS, build_lookup=False
+    idx = query_e2e.build_index(
+        targets, n_decoys=N_INDEX_KEYS, build_lookup=False, P=32
     )
     _emit(out_path, {
         "stage": "index_built",
         "n_keys": int(len(idx["keys"])),
-        "n_multi_dropped": int(idx["n_multi_dropped"]),
+        "n_multi": int(idx["n_multi"]),
+        "n_truncated": int(idx["n_truncated"]),
+        "max_postings": int(idx["max_postings"]),
+        "max_mult": int(idx["max_mult"]),
     })
+    assert idx["n_multi"] > 0, "repeat corpus produced no multiplicity"
+    assert idx["n_truncated"] == 0, "corpus overflows the postings rows"
+    # the CNV tandem's keys must be visible at (near-)full multiplicity,
+    # so its postings hit-counts exceed max_count=128 in matching queries
+    assert idx["max_mult"] >= N16 - 2, idx["max_mult"]
     probe = idx["probe"]
     bits = probe["bits"]
     # big tables go in as jit ARGUMENTS (captured constants ship inside
@@ -176,18 +262,26 @@ def worker(out_path: str):
     q_tables = (
         jnp.asarray(probe["planes"][0]), jnp.asarray(probe["planes"][1]),
         jnp.asarray(probe["planes"][2]), jnp.asarray(probe["planes"][3]),
-        jnp.asarray(probe["fence"]), jnp.asarray(idx["postings"]),
+        jnp.asarray(probe["fence"]), jnp.asarray(idx["p_meta"]),
+        jnp.asarray(idx["p_bgnori"]), jnp.asarray(idx["p_end"]),
     )
     q_arr = jnp.asarray(queries)
     q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
 
-    def query_once(seqs_u8, p0, p1, p2, p3, prow, postings):
-        # lookback=16 is exact for the unfiltered default config (16 >=
-        # max_span=8 unfiltered predecessors always available; the
-        # inexact flag would catch any violation — certified below)
+    # lookback=32: multiplicity runs (up to 3 surviving the filters)
+    # stretch the distinct-left window to <=3x max_span=8 slots; the
+    # inexact flag would catch any violation — certified below.
+    # slots3=384: per-lane anchor compaction before the chain scan (the
+    # (Pc, M) lane plane is ~80% padding; lane_ovf certified clean).
+    E2E_KW = dict(
+        slots2=384, lookback=32, unroll=16, M=4, slots3=384,
+        sketch_compact=(12, 512, 192),
+    )
+
+    def query_once(seqs_u8, p0, p1, p2, p3, fence, meta, bgnori, end):
         res = query_e2e.query_e2e_step(
-            seqs_u8, q_lens, bits, [p0, p1, p2, p3], prow, postings, C,
-            slots2=384, lookback=16, unroll=16,
+            seqs_u8, q_lens, bits, [p0, p1, p2, p3], fence,
+            meta, bgnori, end, C, **E2E_KW,
         )
         return query_e2e.fold_e2e_scalar(res)
 
@@ -196,28 +290,43 @@ def worker(out_path: str):
     # be meaningless (round-3 lesson: a mis-sized pair compaction once
     # dropped half the anchors and only the scalar fold carried the flag)
     @jax.jit
-    def _certify(seqs_u8, p0, p1, p2, p3, prow, postings):
+    def _certify(seqs_u8, p0, p1, p2, p3, fence, meta, bgnori, end):
         res = query_e2e.query_e2e_step(
-            seqs_u8, q_lens, bits, [p0, p1, p2, p3], prow, postings, C,
-            slots2=384, lookback=16, unroll=16,
+            seqs_u8, q_lens, bits, [p0, p1, p2, p3], fence,
+            meta, bgnori, end, C, **E2E_KW,
         )
         return (
             res["overflow"].astype(jnp.int32),
             res["dup"].sum().astype(jnp.int32),
             res["inexact"].sum().astype(jnp.int32),
+            res["row_ovf"].sum().astype(jnp.int32),
+            res["mult_ovf"].sum().astype(jnp.int32),
+            res["lane_ovf"].sum().astype(jnp.int32),
             res["gvalid"].sum().astype(jnp.int32),
+            res["n_q_filtered"].astype(jnp.int32),
+            res["n_t_filtered"].astype(jnp.int32),
         )
 
-    ovf_q, ndup, ninex, nanch = (
+    ovf_q, ndup, ninex, nrow, nmult, nlane, nanch, nqf, ntf = (
         int(v) for v in _certify(q_arr, *q_tables)
     )
     _emit(out_path, {
         "stage": "query_certify", "overflow": ovf_q, "dup_groups": ndup,
-        "inexact_groups": ninex, "n_anchors": nanch,
+        "inexact_groups": ninex, "row_ovf": nrow, "mult_ovf": nmult,
+        "lane_ovf": nlane,
+        "n_anchors": nanch, "n_q_filtered": nqf, "n_t_filtered": ntf,
     })
     assert ovf_q == 0 and ndup == 0 and ninex == 0, (
         f"e2e query flags dirty: ovf={ovf_q} dup={ndup} inexact={ninex}"
     )
+    assert nrow == 0 and nmult == 0 and nlane == 0, (
+        f"e2e capacity flags dirty: row_ovf={nrow} mult_ovf={nmult} "
+        f"lane_ovf={nlane}"
+    )
+    # the CNV tandem must make the per-(pair, sid) count filter FIRE
+    # inside the timed loop — this is what makes the number honest on
+    # repeat-containing content (round-3 verdict item 2)
+    assert ntf > 0, "target count filter never fired: corpus too clean"
 
     def timed_chain(once, seqs, *tables, perturb="content"):
         @jax.jit
@@ -266,6 +375,13 @@ def _combine(stages):
         "unit": "Mbases/s/chip",
         "query_index_keys": N_INDEX_KEYS,
     }
+    for src, keys in (
+        ("index_built", ("n_multi", "n_truncated", "max_postings")),
+        ("query_certify", ("n_anchors", "n_q_filtered", "n_t_filtered")),
+    ):
+        for kk in keys:
+            if kk in stages.get(src, {}):
+                rec[kk] = stages[src][kk]
     if idx and qry:
         combined = 2.0 / (1.0 / idx + 1.0 / qry)
         rec["value"] = round(combined, 1)

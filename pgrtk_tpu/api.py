@@ -19,6 +19,44 @@ from .core import frag_io, mdb, query as query_mod
 from .core.seqdb import CompactSeqDB
 from .core.spec import ShmmrSpec
 
+
+def consensus_bundle_order_direction(
+    bundle_orders: Dict[int, List[float]],
+    bundle_dirs: Dict[int, List[int]],
+    n_bundles: int,
+) -> List[Tuple[int, int, int]]:
+    """The bundle order/direction consensus vote (ext.rs:601-625),
+    reference-exact, as a pure function for adversarial-vector testing.
+
+    Returns sorted [(mean_ord, bid, direction)].  Reference quirks
+    preserved bit-for-bit:
+
+      * the order mean is accumulated in f32 in input order
+        (`let sum: f32 = orders.iter().sum()`), divided in f32, then
+        TRUNCATED (`as usize`) — above 2^24 the f32 sum rounds, which
+        can shift the truncated mean vs a f64 sum;
+      * the direction rule is `dir_sum < (len >> 1)` -> 0 else 1 — NOT
+        a majority vote: an exact half AND one-below-half-of-odd both
+        yield direction 1 (e.g. 2 reverse of 5 votes);
+      * bundles never visited by any sequence get order usize::MAX and
+        direction 0, sorting last (stable by bid via tuple sort).
+    """
+    out: List[Tuple[int, int, int]] = []
+    for bid in range(n_bundles):
+        if bid in bundle_orders:
+            orders = bundle_orders[bid]
+            s = np.float32(0.0)
+            for o in orders:
+                s = np.float32(s + np.float32(o))
+            mean_ord = int(np.float32(s / np.float32(len(orders))))
+            dirs = bundle_dirs[bid]
+            direction = 0 if sum(dirs) < (len(dirs) >> 1) else 1
+            out.append((mean_ord, bid, direction))
+        else:
+            out.append((2**63, bid, 0))
+    out.sort()
+    return out
+
 log = logging.getLogger("pgrtk_tpu")
 
 
@@ -441,17 +479,9 @@ class SeqIndexDB:
                     0 if bid[1] == v[4] else 1
                 )
 
-        mean_order_direction = []
-        for bid in range(len(pb)):
-            if bid in bundle_orders:
-                orders = bundle_orders[bid]
-                mean_ord = int(sum(orders) / len(orders))
-                dirs = bundle_dirs[bid]
-                direction = 0 if sum(dirs) < (len(dirs) >> 1) else 1
-                mean_order_direction.append((mean_ord, bid, direction))
-            else:
-                mean_order_direction.append((2**63, bid, 0))
-        mean_order_direction.sort()
+        mean_order_direction = consensus_bundle_order_direction(
+            bundle_orders, bundle_dirs, len(pb)
+        )
 
         principal_bundles = []
         for ord_, bid, direction in mean_order_direction:

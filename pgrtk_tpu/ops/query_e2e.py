@@ -203,6 +203,7 @@ def build_index(
         np.logical_or.at(key_multi, key_id, mult > 1)
     n_multi = int(key_multi.sum())
     max_postings = int(counts.max()) if n_post else 0
+    max_mult = int(mult.max()) if n_post else 0
 
     real_keys = np.stack(
         [k0s[newkey], k1s[newkey]], axis=1
@@ -300,6 +301,7 @@ def build_index(
         n_multi=n_multi,
         n_truncated=n_truncated,
         max_postings=max_postings,
+        max_mult=max_mult,
     )
 
 
@@ -440,12 +442,21 @@ def expand_postings(
         return out.reshape(B, Pc, C, M).transpose(0, 2, 1, 3)
 
     hv = onehot.any(axis=2).reshape(B, Pc, C, M).transpose(0, 2, 1, 3)
+    # live-filter statistic: postings hits dropped by the per-(pair, sid)
+    # target count filter (aln.rs:213-221) — lets benchmarks certify that
+    # the count-filter machinery actually fires on their corpus
+    n_t_filtered = (
+        (base_hit[:, :, None] & slot_valid & ~t_ok & (sid < U32(C)))
+        .sum()
+        .astype(jnp.uint32)
+    )
     return dict(
         t_bgnori=place(bgnori_rows),
         t_end=place(end_rows),
         hv=hv,
         row_ovf=row_ovf,
         grp_ovf=grp_ovf,
+        n_t_filtered=n_t_filtered,
     )
 
 
@@ -472,6 +483,8 @@ def query_e2e_step(
     max_count: int = 128,
     max_count_query: int = 128,
     max_count_target: int = 128,
+    slots3: int | None = None,
+    sketch_compact: tuple = (12, 512, 144),
 ):
     """One full device query step (traceable; callers jit it).
 
@@ -479,12 +492,30 @@ def query_e2e_step(
     (G, N) f32, prev (G, N) i32, dup (G,) bool, inexact (G,) bool,
     mult_ovf (G,) bool, row_ovf (B,) bool, overflow () bool, where
     G = B*C lanes (query b, target sid c) and N = Pc*M.
+
+    slots3: optional per-lane anchor compaction width.  The expanded
+    (Pc, M) lane plane is mostly padding (multiplicity is 1 for most
+    pairs, and only ~40% of pair slots hit this target), yet the chain
+    scan walks every position — a rank-extract down to slots3 anchors
+    per lane cuts the scan depth ~N/slots3 x.  Order-preserving, so
+    chain semantics are unchanged; lanes with more than slots3 valid
+    anchors raise lane_ovf (G,) (host-fallback contract, like mult_ovf)
+    and N becomes slots3 in every returned plane.
+
+    sketch_compact: (slots, block2, slots2) sizing for the fused sketch
+    compaction.  The (12, 512, 144) default holds mode-2 density on
+    typical content; repeat-dense regions (tandem arrays keep up to ~6
+    raw mers per 512-base chunk SUSTAINED over the whole block) can
+    exceed the level-2 capacity — widen slots2 to ~192, or rely on the
+    overflow flag + exact-path rerun contract.
     """
     import jax.numpy as jnp
 
     B = seqs_u8.shape[0]
+    sk_slots, sk_block2, sk_slots2 = sketch_compact
     xh, xl, yl, valid, ovf = sketch_compact_mode2(
-        seqs_u8, lens, k, r, min_span, chunk
+        seqs_u8, lens, k, r, min_span, chunk,
+        sk_slots, sk_block2, sk_slots2,
     )
     keep = min_span_filter_gapped(xh, xl, yl, valid, min_span)
     pr = pair_mers_gapped(xh, xl, yl, keep, tie_orientation_one=True)
@@ -516,6 +547,9 @@ def query_e2e_step(
     run_len = dup_pair_counts((q_h0, q_l0, q_h1, q_l1), cvalid)
     count_ok = run_len <= min(max_count, max_count_query)
     base_hit = cvalid & found.reshape(B, Pc) & count_ok
+    n_q_filtered = (
+        (cvalid & found.reshape(B, Pc) & ~count_ok).sum().astype(jnp.uint32)
+    )
 
     ex = expand_postings(
         meta_rows, bgnori_rows, end_rows, base_hit, run_len,
@@ -534,14 +568,21 @@ def query_e2e_step(
 
     t_ori = ex["t_bgnori"] >> 31
     t_bgn = ex["t_bgnori"] & jnp.uint32(0x7FFFFFFF)
-    anchors = jnp.stack(
-        [
-            lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
-            lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
-        ],
-        axis=-1,
+    planes6 = (
+        lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
+        lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
     )
     gvalid = lane(ex["hv"])
+    G = B * C
+    lane_ovf = jnp.zeros((G,), dtype=jnp.bool_)
+    if slots3 is not None and slots3 < N:
+        # order-preserving per-lane anchor compaction: the (Pc, M) plane
+        # is mostly padding but the chain scan walks every position
+        lane_ovf = gvalid.sum(axis=1) > slots3
+        planes6, gvalid, _ovf3 = _rank_extract_planes(
+            planes6, gvalid, N, slots3
+        )
+    anchors = jnp.stack(planes6, axis=-1)
     scores, prev, dup, inexact = chain_scores_fast(
         anchors, gvalid, penalty, -1, False,
         lookback=lookback, max_span=max_span, unroll=unroll,
@@ -554,8 +595,13 @@ def query_e2e_step(
         dup=dup,
         inexact=inexact,
         mult_ovf=ex["grp_ovf"].reshape(B * C),
+        lane_ovf=lane_ovf,
         row_ovf=ex["row_ovf"],
         overflow=ovf | ovf2,
+        # live-filter statistics (not folded by fold_e2e_scalar, so the
+        # timed path DCEs them; certify passes return them explicitly)
+        n_q_filtered=n_q_filtered,
+        n_t_filtered=ex["n_t_filtered"],
     )
 
 
@@ -574,6 +620,7 @@ def fold_e2e_scalar(res):
         + res["dup"].sum().astype(jnp.uint32)
         + res["inexact"].sum().astype(jnp.uint32)
         + res["mult_ovf"].sum().astype(jnp.uint32)
+        + res["lane_ovf"].sum().astype(jnp.uint32)
         + res["row_ovf"].sum().astype(jnp.uint32)
         + res["overflow"].astype(jnp.uint32)
     )

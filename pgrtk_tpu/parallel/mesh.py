@@ -606,6 +606,7 @@ def sharded_query_v2_e2e_step(
     max_count_target: int = 128,
     route_capacity: Optional[int] = None,
     compact_kw: Optional[dict] = None,
+    slots3: Optional[int] = None,
 ):
     """END-TO-END query against the hash-range-sharded v2 index: the
     full reference query path (seq_db.rs:1198-1257 + aln.rs:147-242)
@@ -891,14 +892,21 @@ def sharded_query_v2_e2e_step(
 
         t_ori = ex["t_bgnori"] >> 31
         t_bgn = ex["t_bgnori"] & U32(0x7FFFFFFF)
-        anchors = jnp.stack(
-            [
-                lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
-                lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
-            ],
-            axis=-1,
+        planes6 = (
+            lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
+            lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
         )
         gvalid = lane(ex["hv"])
+        lane_ovf = jnp.zeros((B_loc * C,), dtype=jnp.bool_)
+        if slots3 is not None and slots3 < N:
+            # per-lane anchor compaction before the chain scan (the
+            # (Pc, M) lane plane is mostly padding; order-preserving —
+            # see ops/query_e2e.py slots3)
+            lane_ovf = gvalid.sum(axis=1) > slots3
+            planes6, gvalid, _o3 = pairs_ops._rank_extract_planes(
+                planes6, gvalid, N, slots3
+            )
+        anchors = jnp.stack(planes6, axis=-1)
         scores, prev, dup, inexact = chain_scores_fast(
             anchors, gvalid, penalty, -1, False,
             lookback=lookback, max_span=max_span,
@@ -912,6 +920,7 @@ def sharded_query_v2_e2e_step(
             dup=dup,
             inexact=inexact,
             mult_ovf=ex["grp_ovf"].reshape(B_loc * C),
+            lane_ovf=lane_ovf,
             row_ovf=ex["row_ovf"],
             n_hits=jax.lax.psum(gvalid.sum(), axis),
             compact_overflow=agg(c_ovf | ovf2),
@@ -929,7 +938,8 @@ def sharded_query_v2_e2e_step(
         ),
         out_specs=dict(
             anchors=P(axis), gvalid=P(axis), scores=P(axis), prev=P(axis),
-            dup=P(axis), inexact=P(axis), mult_ovf=P(axis), row_ovf=P(axis),
+            dup=P(axis), inexact=P(axis), mult_ovf=P(axis),
+            lane_ovf=P(axis), row_ovf=P(axis),
             n_hits=P(),
             compact_overflow=P(), route_overflow=P(), postings_overflow=P(),
         ),

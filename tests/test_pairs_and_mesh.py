@@ -658,12 +658,15 @@ def test_sharded_e2e_query_multiplicity_and_ragged():
     v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(t_d, tl_d, rids_d)
     assert not bool(v2["shard_overflow"]) and not bool(v2["probe_overflow"])
     e2e = pmesh.sharded_query_v2_e2e_step(
-        mesh, cap, n_targets=B, slots2=96, M=4, postings_cap=32
+        mesh, cap, n_targets=B, slots2=96, M=4, postings_cap=32,
+        slots3=192,  # per-lane anchor compaction (bench layout) in play
     )(q_d, ql_d, rids_d, *v2["probe"]["planes"])
     for flag in ("compact_overflow", "route_overflow", "postings_overflow"):
         assert not bool(e2e[flag]), flag
     assert not np.asarray(e2e["row_ovf"]).any()
     assert not np.asarray(e2e["mult_ovf"]).any()
+    assert not np.asarray(e2e["lane_ovf"]).any()
+    assert np.asarray(e2e["gvalid"]).shape[1] == 192
     anchors = np.asarray(e2e["anchors"])
     gvalid = np.asarray(e2e["gvalid"])
     scores = np.asarray(e2e["scores"])

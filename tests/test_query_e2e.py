@@ -50,7 +50,8 @@ def _run_step(idx, queries, **kw):
         query_e2e.query_e2e_step,
         static_argnames=(
             "probe_bits", "C", "M", "slots2", "max_count",
-            "max_count_query", "max_count_target",
+            "max_count_query", "max_count_target", "lookback", "unroll",
+            "max_span", "slots3", "sketch_compact",
         ),
     )(
         jnp.asarray(padded),
@@ -338,6 +339,109 @@ def test_in_query_duplicate_pair_count_filter():
                 ).values()
             )
             assert n_f < n_all  # the filter actually bound
+
+
+def test_bench_corpus_cnv_tandem_fires_default_filter():
+    """Miniature of the round-4 benchmark corpus: a 16-copy CNV tandem
+    present in the queries and ONE target only, whose in-query run length
+    (16) times per-(key, sid) multiplicity (16) exceeds the reference's
+    default max_count_target=128 — the live filter must fire on device
+    (n_t_filtered > 0) with zero capacity flags, and the surviving
+    anchors must match the host pipeline exactly (which drops the same
+    hits, aln.rs:213-221).  A shared tandem-3 block passes the filters
+    and contributes multiplicity anchors."""
+    from pgrtk_tpu.ops import query_e2e
+    from pgrtk_tpu.utils import synth
+
+    rng = np.random.default_rng(21)
+    L, T, B = 49152, 4, 2
+    S16, U16, N16 = 8192, 1024, 16
+    E16 = S16 + U16 * N16
+    S3, U3, N3 = 28672, 2048, 3
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    # a random unit's perfect tandem is often INVISIBLE to the sketch
+    # (equal-adjacent-hash mers die to the distinctness rule,
+    # shmmrutils.rs:545-548) — pick a unit verified to survive
+    base[S16:E16] = np.tile(
+        synth.pick_tandem_unit(rng, U16, N16), N16
+    )
+    base[S3:S3 + U3 * N3] = np.tile(
+        rng.integers(0, 4, U3, dtype=np.uint8), N3
+    )
+
+    def hap(drop16):
+        out = base.copy()
+        if drop16:
+            out[S16:E16] = rng.integers(0, 4, E16 - S16, dtype=np.uint8)
+        n = rng.binomial(L, 2e-4)
+        pos = rng.choice(L, size=n, replace=False)
+        pos = pos[(pos < S16) | (pos >= E16)]
+        out[pos] = (out[pos] + rng.integers(1, 4, size=len(pos))) % 4
+        return out
+
+    targets = np.stack([hap(drop16=(sid != 0)) for sid in range(T)])
+    queries = np.stack([hap(drop16=False) for _ in range(B)])
+    idx = query_e2e.build_index(targets, n_decoys=500, seed=17, P=16)
+    assert idx["n_multi"] > 0
+    assert idx["n_truncated"] == 0
+    # the CNV block keys live in sid 0 only; edge copies may lose a mer
+    assert idx["max_mult"] >= N16 - 2
+
+    # repeat-dense content needs the widened level-2 sketch compaction
+    # (the tandem sustains ~4-6 raw mers per 512-base chunk)
+    res = _run_step(
+        idx, queries, M=4, lookback=32, sketch_compact=(12, 512, 192)
+    )
+    assert not bool(res["overflow"])
+    assert not res["row_ovf"].any() and not res["mult_ovf"].any()
+    assert not res["dup"].any() and not res["inexact"].any()
+    assert int(res["n_t_filtered"]) > 0   # the CNV keys fired the filter
+    assert int(res["n_q_filtered"]) == 0  # run_len 16 <= max_count 128
+    n = _assert_anchor_parity(idx, queries, res, idx["C"])
+    assert n > 0
+
+    # slots3 lane compaction (the bench's chain-depth cut) must be a
+    # pure layout change: same anchors, no lane overflow on this corpus
+    res_c = _run_step(
+        idx, queries, M=4, lookback=32, slots3=128,
+        sketch_compact=(12, 512, 192),
+    )
+    assert not res_c["lane_ovf"].any()
+    assert res_c["gvalid"].shape[1] == 128
+    n_c = _assert_anchor_parity(idx, queries, res_c, idx["C"])
+    assert n_c == n
+
+    # ... and chains stay host-exact through the compacted layout
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.ops import chain as chain_ops
+
+    dev_chains = chain_ops.traceback(
+        res_c["scores"], res_c["prev"], res_c["gvalid"], res_c["anchors"]
+    )
+    C = idx["C"]
+    n_chain_groups = 0
+    for b in range(queries.shape[0]):
+        host = dict(
+            query_mod.query_fragment_to_hps(_host_raw(idx, queries[b]), 0.025)
+        )
+        for c in range(C):
+            g = b * C + c
+            if int(res_c["gvalid"][g].sum()) <= 1:
+                assert c not in host
+                continue
+            hch, dch = host[c], dev_chains[g]
+            assert len(hch) == len(dch)
+            for (hs, htr), (ds, dtr) in zip(hch, dch):
+                assert np.float32(hs) == np.float32(ds)
+                assert htr == dtr
+            n_chain_groups += 1
+    assert n_chain_groups > 0
+
+    # an undersized slots3 must flag, not silently truncate
+    res_o = _run_step(
+        idx, queries, M=4, slots3=16, sketch_compact=(12, 512, 192)
+    )
+    assert res_o["lane_ovf"].any()
 
 
 def test_build_index_from_pair_arrays_matches_seq_build():
