@@ -262,26 +262,31 @@ def worker(out_path: str):
     q_tables = (
         jnp.asarray(probe["planes"][0]), jnp.asarray(probe["planes"][1]),
         jnp.asarray(probe["planes"][2]), jnp.asarray(probe["planes"][3]),
-        jnp.asarray(probe["fence"]), jnp.asarray(idx["p_meta"]),
-        jnp.asarray(idx["p_bgnori"]), jnp.asarray(idx["p_end"]),
+        jnp.asarray(probe["fence"]), jnp.asarray(idx["p_rows"]),
     )
     q_arr = jnp.asarray(queries)
     q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
 
-    # lookback=32: multiplicity runs (up to 3 surviving the filters)
-    # stretch the distinct-left window to <=3x max_span=8 slots; the
-    # inexact flag would catch any violation — certified below.
-    # slots3=384: per-lane anchor compaction before the chain scan (the
-    # (Pc, M) lane plane is ~80% padding; lane_ovf certified clean).
+    # measured knobs (scripts/profile_e2e.py, v5e):
+    #  * pair_block=None + slots2=256: one-block pair extract -> Pc=256
+    #    (blocked extract at the widened sketch level-2 gave Pc=768 and
+    #    scaled every downstream stage 3x; max 179 pairs/64kb row)
+    #  * P=32 postings in ONE 128-wide aligned row per key (the three
+    #    narrow plane gathers were 15.5 ms of the 35 ms step)
+    #  * M=3 (max surviving multiplicity is the 3-copy tandem),
+    #    lookback=24 (>= M*max_span distinct-left window; certified)
+    #  * NO slots3 lane compaction: at N=768 the chain scan costs 2.0 ms
+    #    vs 2.7 ms for rank-extract(2.0) + compacted chain(0.6) —
+    #    measured profile_e2e.py; compaction pays only at larger Pc*M
     E2E_KW = dict(
-        slots2=384, lookback=32, unroll=16, M=4, slots3=384,
-        sketch_compact=(12, 512, 192),
+        slots2=256, lookback=24, unroll=16, M=3, P=32,
+        sketch_compact=(12, 512, 192), pair_block=None,
     )
 
-    def query_once(seqs_u8, p0, p1, p2, p3, fence, meta, bgnori, end):
+    def query_once(seqs_u8, p0, p1, p2, p3, fence, prows):
         res = query_e2e.query_e2e_step(
             seqs_u8, q_lens, bits, [p0, p1, p2, p3], fence,
-            meta, bgnori, end, C, **E2E_KW,
+            prows, C, **E2E_KW,
         )
         return query_e2e.fold_e2e_scalar(res)
 
@@ -290,10 +295,10 @@ def worker(out_path: str):
     # be meaningless (round-3 lesson: a mis-sized pair compaction once
     # dropped half the anchors and only the scalar fold carried the flag)
     @jax.jit
-    def _certify(seqs_u8, p0, p1, p2, p3, fence, meta, bgnori, end):
+    def _certify(seqs_u8, p0, p1, p2, p3, fence, prows):
         res = query_e2e.query_e2e_step(
             seqs_u8, q_lens, bits, [p0, p1, p2, p3], fence,
-            meta, bgnori, end, C, **E2E_KW,
+            prows, C, **E2E_KW,
         )
         return (
             res["overflow"].astype(jnp.int32),

@@ -98,15 +98,22 @@ def build_index(
     batch).  Returns dict:
 
       keys      (n_keys, 2) u64 key-sorted
-      p_meta    (n_keys+1, P) u32 — keyovf|mult|m|sid per slot,
-                0xFFFFFFFF = empty; last row = not-found sentinel
-      p_bgnori  (n_keys+1, P) u32 — ori<<31 | t_bgn
-      p_end     (n_keys+1, P) u32 — t_end
+      p_rows    (n_keys+1, W) u32, W = 128*ceil(3P/128) — ONE aligned
+                row fetch per key carries the whole postings list
+                [meta(P) | bgnori(P) | end(P) | pad]: meta packs
+                keyovf|mult|m|sid per slot (0xFFFFFFFF = empty), bgnori
+                is ori<<31 | t_bgn, end is t_end; last row = not-found
+                sentinel.  128-wide u32 rows are (8,128)-tile rows
+                (512 B), so the fetch is an aligned row gather — three
+                narrow (P,) plane gathers straddle tiles and lower to
+                element gathers (measured 1.2 GB/s vs ~50 GB/s for
+                aligned rows on the v5e; the row fetch replaced a
+                15.5 ms stage with a sub-ms one at P=32).
       lookup    dict (k0, k1) -> [(0, sid, bgn, end, ori), ...] in
                 reference postings order, for the host parity pipeline
       probe     dict from ops.probe.build_probe_table_dense
       n_targets, n_multi (keys with any per-sid multiplicity > 1),
-      n_truncated (keys with keyovf set), max_postings
+      n_truncated (keys with keyovf set), max_postings, max_mult
     """
     if pair_arrays is None:
         from ..core import sketch as sketch_mod
@@ -239,9 +246,12 @@ def build_index(
     inv[korder] = np.arange(len(keys))
 
     n = len(keys)
-    p_meta = np.full((n + 1, P), META_EMPTY, dtype=np.uint32)
-    p_bgnori = np.zeros((n + 1, P), dtype=np.uint32)
-    p_end = np.zeros((n + 1, P), dtype=np.uint32)
+    W = 128 * (-(-3 * P // 128))
+    p_rows = np.zeros((n + 1, W), dtype=np.uint32)
+    p_meta = p_rows[:, :P]
+    p_bgnori = p_rows[:, P:2 * P]
+    p_end = p_rows[:, 2 * P:3 * P]
+    p_meta[:] = META_EMPTY
     if n_post:
         keep_slot = j < P
         rows = inv[key_id[keep_slot]]
@@ -291,9 +301,7 @@ def build_index(
     probe = build_probe_table_dense(keys)
     return dict(
         keys=keys,
-        p_meta=p_meta,
-        p_bgnori=p_bgnori,
-        p_end=p_end,
+        p_rows=p_rows,
         lookup=lookup,
         probe=probe,
         C=n_targets,
@@ -466,10 +474,9 @@ def query_e2e_step(
     probe_bits: int,
     probe_planes,
     probe_fence,
-    p_meta,
-    p_bgnori,
-    p_end,
+    p_rows,
     C: int,
+    P: int = 16,
     M: int = 4,
     k: int = 56,
     r: int = 4,
@@ -485,6 +492,7 @@ def query_e2e_step(
     max_count_target: int = 128,
     slots3: int | None = None,
     sketch_compact: tuple = (12, 512, 144),
+    pair_block: int | None = 512,
 ):
     """One full device query step (traceable; callers jit it).
 
@@ -508,6 +516,15 @@ def query_e2e_step(
     raw mers per 512-base chunk SUSTAINED over the whole block) can
     exceed the level-2 capacity — widen slots2 to ~192, or rely on the
     overflow flag + exact-path rerun contract.
+
+    pair_block: block size of the pair-stream rank extract.  Pc (the
+    width every downstream stage scales with) = ceil(stream/block) *
+    slots2.  For SHORT query rows (ROI chunks, <= ~128 kb) pass None to
+    compact the whole row in one block: Pc == slots2 regardless of the
+    sketch-compaction width (with a wider sketch level-2, the default
+    512 doubles Pc and with it probe keys, postings fetches, and lane
+    width).  Long rows (Mb-scale) need blocking — slots2 then caps
+    pairs PER BLOCK, not per row.
     """
     import jax.numpy as jnp
 
@@ -524,8 +541,9 @@ def query_e2e_step(
         pr["k0_hi"], pr["k0_lo"], pr["k1_hi"], pr["k1_lo"],
         pr["bgn"], pr["end"], pr["orientation"],
     )
+    block = pair_block if pair_block is not None else pr["k0_hi"].shape[1]
     cp, cvalid, ovf2 = _rank_extract_planes(
-        planes, pr["pair_valid"], 512, slots2
+        planes, pr["pair_valid"], block, slots2
     )
     q_h0, q_l0, q_h1, q_l1, q_bgn, q_end, q_ori = cp
     Pc = q_h0.shape[1]
@@ -536,12 +554,15 @@ def query_e2e_step(
         q_h0.reshape(-1), q_l0.reshape(-1),
         q_h1.reshape(-1), q_l1.reshape(-1),
     )
-    n_keys = p_meta.shape[0] - 1
+    n_keys = p_rows.shape[0] - 1
     row_safe = jnp.where(found, row, n_keys)
-    P = p_meta.shape[1]
-    meta_rows = jnp.take(p_meta, row_safe, axis=0).reshape(B, Pc, P)
-    bgnori_rows = jnp.take(p_bgnori, row_safe, axis=0).reshape(B, Pc, P)
-    end_rows = jnp.take(p_end, row_safe, axis=0).reshape(B, Pc, P)
+    # ONE aligned row fetch per key carries the whole postings list
+    # (meta | bgnori | end slices) — see build_index p_rows
+    W = p_rows.shape[1]
+    rows = jnp.take(p_rows, row_safe, axis=0).reshape(B, Pc, W)
+    meta_rows = rows[:, :, :P]
+    bgnori_rows = rows[:, :, P:2 * P]
+    end_rows = rows[:, :, 2 * P:3 * P]
 
     # in-query duplicate-pair count filter (aln.rs:203-211)
     run_len = dup_pair_counts((q_h0, q_l0, q_h1, q_l1), cvalid)
@@ -566,11 +587,14 @@ def query_e2e_step(
             v[:, None, :, None], (B, C, Pc, M)
         ).reshape(B * C, N)
 
-    t_ori = ex["t_bgnori"] >> 31
-    t_bgn = ex["t_bgnori"] & jnp.uint32(0x7FFFFFFF)
-    planes6 = (
-        lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
-        lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
+    # pack q_ori into q_bgn's top bit (q_bgn = position+1 < 2^31 always:
+    # sequence offsets are int32) — the lane planes travel 4-wide
+    # (qbo, q_end, t_bgnori, t_end) instead of 6, cutting the rank-
+    # extract arithmetic, and unpack right before the chain kernel
+    qbo = q_bgn | (q_ori << 31)
+    planes4 = (
+        lane_q(qbo), lane_q(q_end),
+        lane(ex["t_bgnori"]), lane(ex["t_end"]),
     )
     gvalid = lane(ex["hv"])
     G = B * C
@@ -579,10 +603,17 @@ def query_e2e_step(
         # order-preserving per-lane anchor compaction: the (Pc, M) plane
         # is mostly padding but the chain scan walks every position
         lane_ovf = gvalid.sum(axis=1) > slots3
-        planes6, gvalid, _ovf3 = _rank_extract_planes(
-            planes6, gvalid, N, slots3
+        planes4, gvalid, _ovf3 = _rank_extract_planes(
+            planes4, gvalid, N, slots3
         )
-    anchors = jnp.stack(planes6, axis=-1)
+    MASK31 = jnp.uint32(0x7FFFFFFF)
+    anchors = jnp.stack(
+        [
+            planes4[0] & MASK31, planes4[1], planes4[0] >> 31,
+            planes4[2] & MASK31, planes4[3], planes4[2] >> 31,
+        ],
+        axis=-1,
+    )
     scores, prev, dup, inexact = chain_scores_fast(
         anchors, gvalid, penalty, -1, False,
         lookback=lookback, max_span=max_span, unroll=unroll,

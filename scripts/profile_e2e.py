@@ -77,15 +77,15 @@ def main():
         jnp.asarray(x)
         for x in (
             probe["planes"][0], probe["planes"][1], probe["planes"][2],
-            probe["planes"][3], probe["fence"], idx["p_meta"],
-            idx["p_bgnori"], idx["p_end"],
+            probe["planes"][3], probe["fence"], idx["p_rows"],
         )
     )
     q_arr = jnp.asarray(queries)
     q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
 
-    M, SLOTS2, SLOTS3, LOOKBACK, UNROLL = 4, 384, 384, 32, 16
+    M, SLOTS2, SLOTS3, LOOKBACK, UNROLL = 3, 256, 352, 24, 16
     SK = (12, 512, 192)
+    PP = 32  # postings slots per key (row layout)
 
     def fold_planes(*arrs):
         acc = jnp.uint32(0)
@@ -124,7 +124,7 @@ def main():
             pr["bgn"], pr["end"], pr["orientation"],
         )
         cp, cvalid, ovf2 = _rank_extract_planes(
-            planes, pr["pair_valid"], 512, SLOTS2
+            planes, pr["pair_valid"], pr["k0_hi"].shape[1], SLOTS2
         )
         return cp, cvalid, ovf | ovf2
 
@@ -151,7 +151,7 @@ def main():
             jnp.uint32
         )
 
-    def upto_gather(seqs, p0, p1, p2, p3, fence, meta, bgnori, end):
+    def upto_gather(seqs, p0, p1, p2, p3, fence, prows):
         cp, cvalid, ovf = _front(seqs)
         rl = query_e2e.dup_pair_counts((cp[0], cp[1], cp[2], cp[3]), cvalid)
         table = dict(bits=bits, planes=[p0, p1, p2, p3], fence=fence)
@@ -159,18 +159,15 @@ def main():
             table, cp[0].reshape(-1), cp[1].reshape(-1),
             cp[2].reshape(-1), cp[3].reshape(-1),
         )
-        n_keys = meta.shape[0] - 1
+        n_keys = prows.shape[0] - 1
         row_safe = jnp.where(found, row, n_keys)
-        P = meta.shape[1]
         Pc = cp[0].shape[1]
-        mr = jnp.take(meta, row_safe, axis=0).reshape(BQ, Pc, P)
-        br = jnp.take(bgnori, row_safe, axis=0).reshape(BQ, Pc, P)
-        er = jnp.take(end, row_safe, axis=0).reshape(BQ, Pc, P)
-        return fold_planes(*cp, cvalid, rl, mr, br, er) + ovf.astype(
-            jnp.uint32
+        rows = jnp.take(prows, row_safe, axis=0).reshape(
+            BQ, Pc, prows.shape[1]
         )
+        return fold_planes(*cp, cvalid, rl, rows) + ovf.astype(jnp.uint32)
 
-    def _through_expand(seqs, p0, p1, p2, p3, fence, meta, bgnori, end):
+    def _through_expand(seqs, p0, p1, p2, p3, fence, prows):
         cp, cvalid, ovf = _front(seqs)
         rl = query_e2e.dup_pair_counts((cp[0], cp[1], cp[2], cp[3]), cvalid)
         table = dict(bits=bits, planes=[p0, p1, p2, p3], fence=fence)
@@ -178,13 +175,15 @@ def main():
             table, cp[0].reshape(-1), cp[1].reshape(-1),
             cp[2].reshape(-1), cp[3].reshape(-1),
         )
-        n_keys = meta.shape[0] - 1
+        n_keys = prows.shape[0] - 1
         row_safe = jnp.where(found, row, n_keys)
-        P = meta.shape[1]
         Pc = cp[0].shape[1]
-        mr = jnp.take(meta, row_safe, axis=0).reshape(BQ, Pc, P)
-        br = jnp.take(bgnori, row_safe, axis=0).reshape(BQ, Pc, P)
-        er = jnp.take(end, row_safe, axis=0).reshape(BQ, Pc, P)
+        rows = jnp.take(prows, row_safe, axis=0).reshape(
+            BQ, Pc, prows.shape[1]
+        )
+        mr = rows[:, :, :PP]
+        br = rows[:, :, PP:2 * PP]
+        er = rows[:, :, 2 * PP:3 * PP]
         count_ok = rl <= 128
         base_hit = cvalid & found.reshape(BQ, Pc) & count_ok
         ex = query_e2e.expand_postings(mr, br, er, base_hit, rl, C, M, 128)
@@ -209,25 +208,33 @@ def main():
                 v[:, None, :, None], (BQ, C, Pc, M)
             ).reshape(BQ * C, N)
 
-        t_ori = ex["t_bgnori"] >> 31
-        t_bgn = ex["t_bgnori"] & jnp.uint32(0x7FFFFFFF)
-        planes6 = (
-            lane_q(q_bgn), lane_q(q_end), lane_q(q_ori),
-            lane(t_bgn), lane(ex["t_end"]), lane(t_ori),
+        qbo = q_bgn | (q_ori << 31)
+        planes4 = (
+            lane_q(qbo), lane_q(q_end),
+            lane(ex["t_bgnori"]), lane(ex["t_end"]),
         )
-        return planes6, lane(ex["hv"]), N
+        return planes4, lane(ex["hv"]), N
+
+    MASK31 = jnp.uint32(0x7FFFFFFF)
+
+    def _unpack(p4):
+        return jnp.stack(
+            [p4[0] & MASK31, p4[1], p4[0] >> 31,
+             p4[2] & MASK31, p4[3], p4[2] >> 31],
+            axis=-1,
+        )
 
     def upto_lane_extract(seqs, *t):
         cp, cvalid, ovf, ex, Pc = _through_expand(seqs, *t)
-        planes6, gvalid, N = _lanes(cp, ex, Pc)
-        p6c, gv, _o = _rank_extract_planes(planes6, gvalid, N, SLOTS3)
-        return fold_planes(*p6c, gv) + ovf.astype(jnp.uint32)
+        planes4, gvalid, N = _lanes(cp, ex, Pc)
+        p4c, gv, _o = _rank_extract_planes(planes4, gvalid, N, SLOTS3)
+        return fold_planes(*p4c, gv) + ovf.astype(jnp.uint32)
 
     def full(seqs, *t):
         cp, cvalid, ovf, ex, Pc = _through_expand(seqs, *t)
-        planes6, gvalid, N = _lanes(cp, ex, Pc)
-        p6c, gv, _o = _rank_extract_planes(planes6, gvalid, N, SLOTS3)
-        anchors = jnp.stack(p6c, axis=-1)
+        planes4, gvalid, N = _lanes(cp, ex, Pc)
+        p4c, gv, _o = _rank_extract_planes(planes4, gvalid, N, SLOTS3)
+        anchors = _unpack(p4c)
         scores, prev, dup, inexact = chain_scores_fast(
             anchors, gv, 0.025, -1, False,
             lookback=LOOKBACK, max_span=8, unroll=UNROLL,
@@ -238,8 +245,8 @@ def main():
 
     def full_nocompact(seqs, *t):
         cp, cvalid, ovf, ex, Pc = _through_expand(seqs, *t)
-        planes6, gvalid, N = _lanes(cp, ex, Pc)
-        anchors = jnp.stack(planes6, axis=-1)
+        planes4, gvalid, N = _lanes(cp, ex, Pc)
+        anchors = _unpack(planes4)
         scores, prev, dup, inexact = chain_scores_fast(
             anchors, gvalid, 0.025, -1, False,
             lookback=LOOKBACK, max_span=8, unroll=UNROLL,

@@ -49,7 +49,7 @@ def _run_step(idx, queries, **kw):
     res = jax.jit(
         query_e2e.query_e2e_step,
         static_argnames=(
-            "probe_bits", "C", "M", "slots2", "max_count",
+            "probe_bits", "C", "P", "M", "slots2", "max_count",
             "max_count_query", "max_count_target", "lookback", "unroll",
             "max_span", "slots3", "sketch_compact",
         ),
@@ -59,10 +59,9 @@ def _run_step(idx, queries, **kw):
         probe["bits"],
         [jnp.asarray(probe["planes"][i]) for i in range(4)],
         jnp.asarray(probe["fence"]),
-        jnp.asarray(idx["p_meta"]),
-        jnp.asarray(idx["p_bgnori"]),
-        jnp.asarray(idx["p_end"]),
+        jnp.asarray(idx["p_rows"]),
         idx["C"],
+        P=idx["P"],
         **kw,
     )
     return {k: np.asarray(v) for k, v in res.items()}
@@ -480,6 +479,5 @@ def test_build_index_from_pair_arrays_matches_seq_build():
     a = query_e2e.build_index(targets, n_decoys=50, seed=3)
     b = query_e2e.build_index(pair_arrays=arrays, n_decoys=50, seed=3)
     assert np.array_equal(a["keys"], b["keys"])
-    for plane in ("p_meta", "p_bgnori", "p_end"):
-        assert np.array_equal(a[plane], b[plane])
+    assert np.array_equal(a["p_rows"], b["p_rows"])
     assert a["lookup"] == b["lookup"]
