@@ -268,9 +268,11 @@ def worker(out_path: str):
     q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
 
     # measured knobs (scripts/profile_e2e.py, v5e):
-    #  * pair_block=None + slots2=256: one-block pair extract -> Pc=256
+    #  * pair_block=None + slots2=224: one-block pair extract -> Pc=224
     #    (blocked extract at the widened sketch level-2 gave Pc=768 and
-    #    scaled every downstream stage 3x; max 179 pairs/64kb row)
+    #    scaled every downstream stage 3x; max 179 pairs/64kb row;
+    #    sweep_e2e.py: 224 -> 1460 Mb/s vs 256 -> 1293, overflow flag +
+    #    certify guard the margin)
     #  * P=32 postings in ONE 128-wide aligned row per key (the three
     #    narrow plane gathers were 15.5 ms of the 35 ms step)
     #  * M=3 (max surviving multiplicity is the 3-copy tandem),
@@ -279,7 +281,7 @@ def worker(out_path: str):
     #    vs 2.7 ms for rank-extract(2.0) + compacted chain(0.6) —
     #    measured profile_e2e.py; compaction pays only at larger Pc*M
     E2E_KW = dict(
-        slots2=256, lookback=24, unroll=16, M=3, P=32,
+        slots2=224, lookback=24, unroll=16, M=3, P=32,
         sketch_compact=(12, 512, 192), pair_block=None,
     )
 

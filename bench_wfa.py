@@ -94,8 +94,12 @@ def main():
     )
 
 
-def _time_paths(pairs, max_wf: int, skip_device: bool = False):
-    """Device + threaded-host + serial-host seg/s on one pair list."""
+def _time_paths(pairs, max_wf: int, skip_device: bool = False, **dev_kw):
+    """Device + threaded-host + serial-host seg/s on one pair list.
+    dev_kw: batch_wfa_align sizing (L segment cap, chunk batch size,
+    S_max score cap) — segments exceeding them take the internal host
+    fallback, so the device number is the PRODUCTION batch-path
+    throughput at that config."""
     import numpy as np  # noqa: F401
 
     from pgrtk_tpu.core import wfa as host_wfa
@@ -104,9 +108,9 @@ def _time_paths(pairs, max_wf: int, skip_device: bool = False):
     G = len(pairs)
     out = {}
     if not skip_device:
-        dev = dev_wfa.batch_wfa_align(pairs, max_wf, 3, 3, 1)  # compile
+        dev = dev_wfa.batch_wfa_align(pairs, max_wf, 3, 3, 1, **dev_kw)
         t0 = time.time()
-        dev = dev_wfa.batch_wfa_align(pairs, max_wf, 3, 3, 1)
+        dev = dev_wfa.batch_wfa_align(pairs, max_wf, 3, 3, 1, **dev_kw)
         out["device_seg_per_s"] = round(G / (time.time() - t0), 1)
     else:
         dev = None
@@ -156,15 +160,22 @@ def sweep():
         return bytes(s)
 
     for L in (256, 512, 1024, 2048, 4096):
-        # device memory: run-length plane is G * 2L * L bytes
-        G = max(8, min(512, (1 << 28) // (2 * L * L)))
+        # device memory: run-length plane is chunk * 2L * L bytes
+        chunk = max(8, min(256, (1 << 28) // (2 * L * L)))
+        G = max(64, 2 * chunk)
         pairs = []
         for _ in range(G):
             t = bytes(rng.choice(bases, L + rng.randint(-L // 8, L // 8))
                       .tolist())
             pairs.append((t, mutate(t)))
-        rec = {"metric": "wfa_length_sweep", "target_len": L}
-        rec.update(_time_paths(pairs, 384))
+        rec = {"metric": "wfa_length_sweep", "target_len": L,
+               "device_chunk": chunk}
+        # segment cap L_pad covers the +L/8 jitter; S_max 512 covers the
+        # 0.5% divergence at 4 kb (score ~ 3*SNPs + indel opens)
+        rec.update(
+            _time_paths(pairs, 384, L=L + L // 8 + 8, chunk=chunk,
+                        S_max=512)
+        )
         print(json.dumps(rec), flush=True)
 
 
