@@ -67,6 +67,10 @@ def _shifted_query_planes(q: jnp.ndarray, L: int) -> jnp.ndarray:
     while size < L:
         left = jnp.concatenate([shl(left, size), left], axis=1)
         size *= 2
+    # doubling lands on next_pow2(L) rows; slice to exactly L shifts so
+    # non-power-of-two L (the sweep's padded segment caps) stays (G,2L,L)
+    right = right[:, :L, :]
+    left = left[:, -L:, :]
     # assemble d in [0, 2L) <-> shift d - L in [-L, L); the shift -L row
     # is entirely out of range (j = i + L >= L) -> all fill
     minus_L = jnp.full((G, 1, L), 255, dtype=jnp.uint8)

@@ -207,3 +207,19 @@ def test_banded_extend_adversarial_indels_bit_exact():
         for t, q in pairs
     ]
     assert out_dev == out_host
+
+
+def test_batch_wfa_non_pow2_segment_cap():
+    """The crossover sweep sizes L to the padded segment length (e.g.
+    296 = 256 + 32 + 8), which is not a power of two — the shifted-query
+    plane doubling must slice back to exactly L shifts (regression: it
+    used to emit next_pow2(L) rows per side and crash the match mask)."""
+    from pgrtk_tpu.ops import wfa as dwfa
+
+    pairs = _pairs(seed=7)
+    got = dwfa.batch_wfa_align(pairs, L=296, chunk=8, S_max=512)
+    for i, (t, q) in enumerate(pairs):
+        want = host_wfa.wfa_align_bases(
+            t.decode(), q.decode(), 384, 3, 3, 1, 1024
+        )
+        assert got[i] == want, i
