@@ -222,13 +222,19 @@ def batch_get_variant_segments(
 ):
     """get_variant_segments over many (target, query) byte pairs at once.
 
-    Default routing is the HOST thread pool (the native WFA call
-    releases the GIL; `threads` caps the pool like the reference's
-    rayon thread flag) — the device kernel measures ~17x slower on the
-    v5e (see bench_wfa.py and the inline comment below).  Pass
-    force_device="device" to run the batched device kernel (bit-exact
-    to the scalar arbiter, per-segment host fallback).  Returns a list
-    of per-pair variant lists (None entries where the alignment did not
+    Default routing is the HOST path with a measured length-based
+    serial/threaded dispatch (bench_wfa.py --sweep + midpoint runs,
+    4-CPU v5e host, round 4): the native call releases the GIL but
+    pool overhead + GIL re-acquisition cap the pool at ~5-10k seg/s,
+    so SERIAL wins up to ~4 kb mean segment length (7.5k vs 5.4k seg/s
+    at 4 kb, 49k vs 10k at 256 bp) and the THREAD pool wins from ~6 kb
+    (4.2k vs 3.6k at 6 kb, 4.8k vs 2.8k at 8 kb) — crossover ~5 kb.
+    `threads` caps the pool like the reference's rayon thread flag.
+    The device kernel has NO winning regime through this box's network
+    tunnel (368 vs 48.7k seg/s at 256 bp, 12 vs 5.0k at 4 kb); pass
+    force_device="device" to run it anyway (bit-exact to the scalar
+    arbiter, per-segment host fallback).  Returns a list of per-pair
+    variant lists (None entries where the alignment did not
     complete)."""
     pairs = [
         (
@@ -268,7 +274,14 @@ def batch_get_variant_segments(
                 open_penalty, extension_penalty,
             )
 
-        if len(rev) > 1:
+        # measured crossover (docstring): the pool only amortizes its
+        # GIL/queue overhead once per-segment C++ time is large enough,
+        # i.e. mean segment length >= ~5 kb on this host
+        mean_len = (
+            sum(max(len(t), len(q)) for t, q in rev) / len(rev)
+            if rev else 0
+        )
+        if len(rev) > 1 and mean_len >= 5000:
             with ThreadPoolExecutor(max_workers=threads) as ex:
                 aligned = list(ex.map(_one, rev))
         else:
