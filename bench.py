@@ -262,17 +262,20 @@ def worker(out_path: str):
     q_tables = (
         jnp.asarray(probe["planes"][0]), jnp.asarray(probe["planes"][1]),
         jnp.asarray(probe["planes"][2]), jnp.asarray(probe["planes"][3]),
-        jnp.asarray(probe["fence"]), jnp.asarray(idx["p_rows"]),
+        jnp.asarray(probe["fence_rows"]), jnp.asarray(idx["p_rows"]),
     )
     q_arr = jnp.asarray(queries)
     q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
 
-    # measured knobs (scripts/profile_e2e.py, v5e):
-    #  * pair_block=None + slots2=224: one-block pair extract -> Pc=224
+    # measured knobs (scripts/profile_e2e.py + sweep_e2e.py, v5e):
+    #  * pair_block=None + slots2=192: one-block pair extract -> Pc=192
     #    (blocked extract at the widened sketch level-2 gave Pc=768 and
     #    scaled every downstream stage 3x; max 179 pairs/64kb row;
-    #    sweep_e2e.py: 224 -> 1460 Mb/s vs 256 -> 1293, overflow flag +
-    #    certify guard the margin)
+    #    round-4 sweep with the row fence: 192 -> 1644 Mb/s, 224 -> 1489,
+    #    256 -> 1293; the 13-slot margin is guarded by the overflow flag
+    #    + untimed certify, which fail LOUDLY if corpus pairs ever grow)
+    #  * fence_to_rows probe fence (row fetch + arithmetic lane select
+    #    instead of the scalar fence gather: 42.2 vs 54.2 ns/key)
     #  * P=32 postings in ONE 128-wide aligned row per key (the three
     #    narrow plane gathers were 15.5 ms of the 35 ms step)
     #  * M=3 (max surviving multiplicity is the 3-copy tandem),
@@ -281,7 +284,7 @@ def worker(out_path: str):
     #    vs 2.7 ms for rank-extract(2.0) + compacted chain(0.6) —
     #    measured profile_e2e.py; compaction pays only at larger Pc*M
     E2E_KW = dict(
-        slots2=224, lookback=24, unroll=16, M=3, P=32,
+        slots2=192, lookback=24, unroll=16, M=3, P=32,
         sketch_compact=(12, 512, 192), pair_block=None,
     )
 

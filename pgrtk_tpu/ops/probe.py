@@ -147,12 +147,39 @@ def build_probe_table_dense(keys: np.ndarray, avg_per_bucket: int = 32):
     flat[1, :n] = (keys[:, 0] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     flat[2, :n] = (keys[:, 1] >> np.uint64(32)).astype(np.uint32)
     flat[3, :n] = (keys[:, 1] & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    return dict(bits=bits, planes=planes, fence=fence, n=n)
+    return dict(
+        bits=bits, planes=planes, fence=fence,
+        fence_rows=fence_to_rows(fence), n=n,
+    )
+
+
+def fence_to_rows(fence: np.ndarray) -> np.ndarray:
+    """Reshape a (2^bits + 1,) fence into zero-padded 128-wide rows.
+
+    Motivation (round-4 micro-bench, scripts/bench_probe.py on the
+    v5e): the per-key SCALAR fence gather costs ~12 ns/key (the
+    10 ns/element scalar-gather rake) — 0.34 ms of the 1.55 ms probe
+    at bench shapes.  Fetching the fence as an aligned 128-wide row and
+    selecting the wanted lane arithmetically cuts the probe to 42.2
+    ns/key (1.28x).  Interleaving the four KEY planes into one
+    (rows, 4, 128) array was also tried and LOSES (79 ns/key): XLA
+    lowers the wider-slice gather worse than four independent row
+    gathers — fuse the fence, keep the planes separate.
+    """
+    nfr = -(-len(fence) // 128)
+    fr = np.zeros((nfr * 128,), fence.dtype)
+    fr[: len(fence)] = fence
+    return fr.reshape(nfr, 128)
 
 
 def probe_keys_dense(table, q_h0, q_l0, q_h1, q_l1):
     """Vectorized probe of a dense fence table: (found, row) per query
-    key, row = index into the key-sorted table (-1 if absent)."""
+    key, row = index into the key-sorted table (-1 if absent).
+
+    table["fence"] may be the flat (2^bits + 1,) array or the
+    fence_to_rows 128-wide layout — the 2-D layout replaces the scalar
+    fence gather with a row fetch + arithmetic lane select (measured
+    1.28x at bench shapes, see fence_to_rows)."""
     import jax.numpy as jnp
 
     bits = table["bits"]
@@ -161,7 +188,16 @@ def probe_keys_dense(table, q_h0, q_l0, q_h1, q_l1):
     bucket = (q_h0 >> (24 - bits)) if bits <= 24 else (
         (q_h0 << (bits - 24)) | (q_l0 >> (56 - bits))
     )
-    start = jnp.take(fence, bucket.astype(jnp.int32))
+    if fence.ndim == 2:
+        b32 = bucket.astype(jnp.int32)
+        frow = jnp.take(fence, b32 >> 7, axis=0)  # (Q, 128)
+        lane = b32 & jnp.int32(127)
+        iota = jnp.arange(128, dtype=jnp.int32)
+        start = jnp.where(
+            iota[None, :] == lane[:, None], frow, jnp.int32(0)
+        ).sum(axis=1)
+    else:
+        start = jnp.take(fence, bucket.astype(jnp.int32))
     base = start >> 7  # 128-wide rows
     rows2 = jnp.stack([base, base + 1], axis=1)  # (Q, 2)
     hit = (

@@ -39,7 +39,7 @@ def _device_tables(db):
             cached = dict(
                 bits=t["bits"],
                 planes=[jnp.asarray(t["planes"][i]) for i in range(4)],
-                fence=jnp.asarray(t["fence"]),
+                fence=jnp.asarray(t["fence_rows"]),
             )
         except ValueError:
             t = probe_ops.build_probe_table(store.index_keys)

@@ -77,7 +77,7 @@ def main():
         jnp.asarray(x)
         for x in (
             probe["planes"][0], probe["planes"][1], probe["planes"][2],
-            probe["planes"][3], probe["fence"], idx["p_rows"],
+            probe["planes"][3], probe["fence_rows"], idx["p_rows"],
         )
     )
     q_arr = jnp.asarray(queries)

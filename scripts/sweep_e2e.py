@@ -19,11 +19,10 @@ import numpy as np
 
 CONFIGS = [
     # (qchunk, slots2, M, lookback, unroll)
-    (16, 256, 3, 24, 16),   # current bench config
-    (16, 224, 3, 24, 16),
-    (16, 256, 3, 24, 8),
-    (8, 384, 3, 24, 16),
-    (32, 160, 3, 24, 16),
+    (16, 224, 3, 24, 16),   # current bench config (round-4 winner)
+    (16, 224, 3, 24, 32),
+    (16, 224, 3, 16, 16),
+    (16, 192, 3, 24, 16),
 ]
 
 
@@ -72,7 +71,7 @@ def main():
         jnp.asarray(x)
         for x in (
             probe["planes"][0], probe["planes"][1], probe["planes"][2],
-            probe["planes"][3], probe["fence"], idx["p_rows"],
+            probe["planes"][3], probe["fence_rows"], idx["p_rows"],
         )
     )
 

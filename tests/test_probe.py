@@ -137,3 +137,46 @@ def test_dense_overflow_raises_and_padded_fallback_works():
         probe.build_probe_table_dense(keys)
     t = probe.build_probe_table(keys)  # widens W instead
     assert t["planes"].shape[2] >= 256
+
+
+def test_fence_rows_layout_matches_scalar_fence():
+    """probe_keys_dense with the fence_to_rows 2-D fence (row fetch +
+    arithmetic lane select instead of a scalar gather — measured 1.28x
+    on the v5e) must return exactly the flat-fence (found, row)."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.ops import probe
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 1 << 56, size=(120_000, 2), dtype=np.uint64)
+    keys[77] = keys[78]  # duplicate pair
+    keys = keys[np.lexsort((keys[:, 1], keys[:, 0]))]
+    t = probe.build_probe_table_dense(keys)
+    assert t["fence_rows"].shape[1] == 128
+    td = dict(
+        bits=t["bits"],
+        planes=[jnp.asarray(t["planes"][i]) for i in range(4)],
+        fence=jnp.asarray(t["fence"]),
+    )
+    tr = dict(
+        bits=t["bits"],
+        planes=td["planes"],
+        fence=jnp.asarray(t["fence_rows"]),
+    )
+    qk = np.concatenate(
+        [
+            keys[rng.integers(0, len(keys), 4000)],
+            rng.integers(0, 1 << 56, size=(4000, 2), dtype=np.uint64),
+        ]
+    )
+    qs = [
+        jnp.asarray(v.astype(np.uint32))
+        for v in (
+            qk[:, 0] >> np.uint64(32), qk[:, 0] & np.uint64(0xFFFFFFFF),
+            qk[:, 1] >> np.uint64(32), qk[:, 1] & np.uint64(0xFFFFFFFF),
+        )
+    ]
+    f1, r1 = probe.probe_keys_dense(td, *qs)
+    f2, r2 = probe.probe_keys_dense(tr, *qs)
+    assert np.array_equal(np.asarray(f1), np.asarray(f2))
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
