@@ -81,7 +81,7 @@ def _host_raw(idx, q2bit):
 def _assert_anchor_parity(idx, queries, res, C, **filter_kw):
     from pgrtk_tpu.core import query as query_mod
 
-    B = queries.shape[0]
+    B = len(queries)  # (B, L) array or list of ragged 2-bit rows
     anchors, gvalid = res["anchors"], res["gvalid"]
     n_total = 0
     for b in range(B):
@@ -481,3 +481,127 @@ def test_build_index_from_pair_arrays_matches_seq_build():
     assert np.array_equal(a["keys"], b["keys"])
     assert np.array_equal(a["p_rows"], b["p_rows"])
     assert a["lookup"] == b["lookup"]
+
+
+def test_real_pangenome_content_multiplicity_parity(test_data_dir):
+    """Device e2e parity on REAL sequence content: the reference's
+    test_seqs.fa (66 HPRC haplotype fragments of one locus,
+    pgr-db/test/test_data).  Targets are multi-locus contigs built by
+    concatenating 8 real haplotypes each, so shared shimmer-pair keys
+    carry GENUINE per-(key, sid) multiplicity (every haplotype copy of
+    the locus posts the key); queries are held-out single haplotypes.
+    Anchors AND chains must match the host pipeline exactly — on real
+    repeats, ragged lengths, and live multiplicity, not synthetic
+    mutations."""
+    import os
+
+    from pgrtk_tpu.core import fasta as fasta_mod
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.ops import chain as chain_ops
+    from pgrtk_tpu.ops import query_e2e
+
+    recs = list(
+        fasta_mod.read_fastx(os.path.join(test_data_dir, "test_seqs.fa"))
+    )
+    assert len(recs) == 66
+    code = np.full(256, 255, np.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        code[ch] = i
+
+    def to2bit(seq):
+        arr = code[np.frombuffer(seq, np.uint8)]
+        assert (arr != 255).all()
+        return arr
+
+    T, PER = 4, 8
+    groups = [
+        [to2bit(recs[t * PER + j].seq) for j in range(PER)]
+        for t in range(T)
+    ]
+    tl = np.array([sum(len(s) for s in g) for g in groups], np.int32)
+    LT = int(tl.max())
+    targets = np.zeros((T, LT + (-LT) % 512), np.uint8)
+    for t, g in enumerate(groups):
+        targets[t, : tl[t]] = np.concatenate(g)
+
+    queries2 = [to2bit(recs[60].seq), to2bit(recs[61].seq)]
+    LQ = max(len(q) for q in queries2)
+    queries = np.zeros((2, LQ + (-LQ) % 512), np.uint8)
+    q_lens = np.array([len(q) for q in queries2], np.int32)
+    for b, q in enumerate(queries2):
+        queries[b, : q_lens[b]] = q
+
+    # P=48 postings slots/key: a key shared by every haplotype can post
+    # up to T*PER = 32 times (plus margin) — the default 16 truncates
+    idx = query_e2e.build_index(
+        targets, n_decoys=1000, target_lens=tl, P=48
+    )
+    # 8 real haplotype copies per target -> genuine multiplicity
+    assert idx["n_multi"] > 0
+    assert idx["n_truncated"] == 0
+    assert 2 <= idx["max_mult"] <= 8, idx["max_mult"]
+    M = int(idx["max_mult"]) + 1
+
+    import jax
+    import jax.numpy as jnp
+
+    probe = idx["probe"]
+    res = jax.jit(
+        query_e2e.query_e2e_step,
+        static_argnames=(
+            "probe_bits", "C", "P", "M", "slots2", "max_count",
+            "max_count_query", "max_count_target", "lookback", "unroll",
+            "max_span", "slots3", "sketch_compact",
+        ),
+    )(
+        jnp.asarray(queries),
+        jnp.asarray(q_lens),
+        probe["bits"],
+        [jnp.asarray(probe["planes"][i]) for i in range(4)],
+        jnp.asarray(probe["fence_rows"]),  # production fence layout
+        jnp.asarray(idx["p_rows"]),
+        idx["C"],
+        P=idx["P"],
+        M=M,
+        slots2=128,
+        lookback=8 * M,
+    )
+    res = {k: np.asarray(v) for k, v in res.items()}
+    assert not bool(res["overflow"])
+    assert not res["row_ovf"].any()
+    assert not res["mult_ovf"].any()
+    assert not res["dup"].any() and not res["inexact"].any()
+
+    C = idx["C"]
+    n = _assert_anchor_parity(idx, [q[: q_lens[i]] for i, q in
+                                    enumerate(queries)], res, C)
+    assert n > 0
+    # held-out haplotypes must anchor in EVERY multi-locus target with
+    # real multiplicity reaching the device lanes
+    anchors, gvalid = res["anchors"], res["gvalid"]
+    assert all(
+        gvalid[b * C + c].sum() > 0 for b in range(2) for c in range(C)
+    )
+
+    dev_chains = chain_ops.traceback(
+        res["scores"], res["prev"], res["gvalid"], res["anchors"]
+    )
+    n_groups = 0
+    for b in range(2):
+        host = dict(
+            query_mod.query_fragment_to_hps(
+                _host_raw(idx, queries[b][: q_lens[b]]), 0.025
+            )
+        )
+        for c in range(C):
+            g = b * C + c
+            if int(gvalid[g].sum()) <= 1:
+                assert c not in host
+                continue
+            hchains, dchains = host[c], dev_chains[g]
+            assert len(hchains) == len(dchains)
+            for (hs, htrack), (ds, dtrack) in zip(hchains, dchains):
+                assert np.float32(hs) == np.float32(ds)
+                assert htrack == dtrack
+            n_groups += 1
+    assert n_groups == 2 * C
