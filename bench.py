@@ -359,11 +359,21 @@ def worker(out_path: str):
         # timed run (remote compiles through the tunnel are minutes)
         int(chain(seqs, jnp.int32(1), *tables)[1])  # warm-up / compile
         int(chain(seqs, jnp.int32(1), *tables)[1])  # settle dispatch path
-        N = 50
-        t0 = time.time()
-        acc = int(chain(seqs, jnp.int32(N), *tables)[1])  # 4-byte sync
-        dt = (time.time() - t0) / N
-        del acc
+        # best of 3 independent timing windows: each window is identical
+        # deterministic device work, so min-over-windows removes tunnel
+        # hiccups / host scheduling noise from the measurement without
+        # changing what is measured (observed window spread up to ~12%
+        # on the index stage across otherwise identical runs).  N must
+        # stay large: the per-call dispatch+sync overhead through the
+        # tunnel is amortized 1/N (N=20 windows measured ~15% slower
+        # than N=50 from overhead alone)
+        N, WINDOWS = 50, 3
+        dt = float("inf")
+        for _ in range(WINDOWS):
+            t0 = time.time()
+            acc = int(chain(seqs, jnp.int32(N), *tables)[1])  # 4-byte sync
+            dt = min(dt, (time.time() - t0) / N)
+            del acc
         return B * L / dt
 
     index_bps = timed_chain(index_once, arr)
