@@ -286,3 +286,71 @@ def test_websocket_fragmentation_and_length_cap():
     finally:
         sm.Handler.rois = []
         srv.shutdown()
+
+
+def test_server_decomposition_matches_and_svg(tmp_path):
+    """End-to-end server flow with REAL matches (the roundtrip test only
+    counts match_summary entries, which include empty lists): a 6-
+    haplotype pangenome at ROI scale must clear bundle_processing.rs's
+    num_hits > 100 / span > 0.6 summary filter for every haplotype, an
+    SV haplotype must show its shorter target span, and the SVG route
+    must paint one bundle path per haplotype."""
+    import http.server
+    import urllib.parse
+
+    import numpy as np
+
+    from pgrtk_tpu.server import main as sm
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    L = 100_000
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    fa = tmp_path / "pan.fa"
+    with open(fa, "w") as f:
+        for h in range(6):
+            s = base.copy()
+            pos = rng.choice(L, size=int(L * 2e-4), replace=False)
+            s[pos] = (s[pos] + rng.integers(1, 4, size=len(pos))) % 4
+            if h == 3:  # 5 kb deletion SV
+                s = np.concatenate([s[:40_000], s[45_000:]])
+            f.write(f">hap_{h}\n{bases[s].tobytes().decode()}\n")
+
+    d = pgrtk_tpu.SeqIndexDB()
+    d.load_from_fastx(str(fa))
+    sm.Handler.seq_db = d
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), sm.Handler)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spec = dict(
+            source=str(fa), ctg="hap_0",
+            bgn=20_000, end=80_000, padding=0, merge_range_tol=100_000,
+            w=48, k=56, r=4, min_span=12, sketch=True,
+            min_cov=2, min_branch_size=8, bundle_length_cutoff=500,
+            bundle_merge_distance=10_000,
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/post_query_for_json_data",
+            data=json.dumps(spec).encode(),
+        )
+        out = json.loads(urllib.request.urlopen(req).read())
+        matched = {sid: v for sid, v in out["match_summary"] if v}
+        assert len(matched) == 6  # every haplotype matched the ROI
+        assert len(out["bundle_bed_records"]) == 6
+        # the SV haplotype's target span is ~5 kb shorter
+        spans = {
+            sid: v[0]["t_end"] - v[0]["t_bgn"] for sid, v in matched.items()
+        }
+        normal = [s for sid, s in spans.items() if sid != 3]
+        assert all(abs(s - normal[0]) < 1000 for s in normal)
+        assert normal[0] - spans[3] > 4000
+        assert all(v[0]["num_hits"] > 100 for v in matched.values())
+
+        q = urllib.parse.quote(json.dumps(spec))
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/get_html_by_query?{q}"
+        ).read().decode()
+        assert "<svg" in html and html.count("<path") == 6
+    finally:
+        srv.shutdown()
