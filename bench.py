@@ -286,6 +286,7 @@ def worker(out_path: str):
     E2E_KW = dict(
         slots2=192, lookback=24, unroll=16, M=3, P=32,
         sketch_compact=(12, 512, 192), pair_block=None,
+        probe_aligned=probe.get("aligned", False),
     )
 
     def query_once(seqs_u8, p0, p1, p2, p3, fence, prows):

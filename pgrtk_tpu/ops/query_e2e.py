@@ -52,7 +52,12 @@ from .pairs import (
     min_span_filter_gapped,
     pair_mers_gapped,
 )
-from .probe import build_probe_table_dense, probe_keys_dense
+from .probe import (
+    build_probe_table_aligned,
+    build_probe_table_dense,
+    probe_keys_aligned,
+    probe_keys_dense,
+)
 from .sketch import sketch_compact_mode2
 
 META_EMPTY = 0xFFFFFFFF
@@ -245,7 +250,21 @@ def build_index(
     inv = np.empty(len(keys), dtype=np.int64)
     inv[korder] = np.arange(len(keys))
 
-    n = len(keys)
+    # probe table FIRST: the aligned layout (one row fetch per plane,
+    # 28.8 vs 43.1 ns/key measured) assigns each key a PADDED position,
+    # and the postings rows must live at those positions so the probe's
+    # matched row indexes p_rows directly.  Pathological key sets fall
+    # back to the two-row dense layout (positions = sorted order).
+    try:
+        probe = build_probe_table_aligned(keys)
+        inv = probe["pos"][inv]  # original order -> padded row
+        n_tab_rows = probe["n_padded"]
+    except ValueError:
+        probe = build_probe_table_dense(keys)
+        probe["aligned"] = False
+        n_tab_rows = len(keys)
+
+    n = n_tab_rows
     W = 128 * (-(-3 * P // 128))
     p_rows = np.zeros((n + 1, W), dtype=np.uint32)
     p_meta = p_rows[:, :P]
@@ -298,7 +317,6 @@ def build_index(
                      int(d_ori[i]))
                 ]
 
-    probe = build_probe_table_dense(keys)
     return dict(
         keys=keys,
         p_rows=p_rows,
@@ -493,6 +511,7 @@ def query_e2e_step(
     slots3: int | None = None,
     sketch_compact: tuple = (12, 512, 144),
     pair_block: int | None = 512,
+    probe_aligned: bool = True,
 ):
     """One full device query step (traceable; callers jit it).
 
@@ -549,7 +568,10 @@ def query_e2e_step(
     Pc = q_h0.shape[1]
 
     table = dict(bits=probe_bits, planes=probe_planes, fence=probe_fence)
-    found, row = probe_keys_dense(
+    # probe_aligned matches build_index's probe layout (aligned: one row
+    # fetch per plane, row = padded position; dense fallback: two rows)
+    probe_fn = probe_keys_aligned if probe_aligned else probe_keys_dense
+    found, row = probe_fn(
         table,
         q_h0.reshape(-1), q_l0.reshape(-1),
         q_h1.reshape(-1), q_l1.reshape(-1),

@@ -77,12 +77,46 @@ def main():
 
     dt_flat = timed(jnp.asarray(t["fence"]))
     dt_rows = timed(jnp.asarray(t["fence_rows"]))
-    for name, dt in (("flat fence", dt_flat), ("row fence", dt_rows)):
+
+    # aligned layout: one row fetch per plane
+    ta = probe.build_probe_table_aligned(keys)
+    a_planes = tuple(jnp.asarray(ta["planes"][i]) for i in range(4))
+
+    def timed_aligned(fence):
+        @jax.jit
+        def chain_fn(h0, l0, h1, l1, n, p0, p1, p2, p3, f):
+            def body(_, carry):
+                a, acc = carry
+                tab = dict(bits=ta["bits"], planes=[p0, p1, p2, p3],
+                           fence=f)
+                fo, r = probe.probe_keys_aligned(tab, a, l0, h1, l1)
+                s = (
+                    fo.sum().astype(jnp.uint32)
+                    + (r.sum().astype(jnp.uint32) & jnp.uint32(0xFFFF))
+                )
+                return (h0 ^ (s & jnp.uint32(1)), acc + s)
+
+            return jax.lax.fori_loop(
+                jnp.int32(0), n, body, (h0, jnp.uint32(0))
+            )[1]
+
+        args = qs + (jnp.int32(1),) + a_planes + (fence,)
+        int(chain_fn(*args))
+        int(chain_fn(*args))
+        t0 = time.time()
+        int(chain_fn(*(qs + (jnp.int32(n_iters),) + a_planes + (fence,))))
+        return (time.time() - t0) / n_iters
+
+    dt_alg = timed_aligned(jnp.asarray(ta["fence_rows"]))
+    for name, dt in (("flat fence", dt_flat), ("row fence", dt_rows),
+                     ("aligned", dt_alg)):
         print(
             f"{name:12s} {dt*1e6:8.1f} us/step  {dt/Q*1e9:6.1f} ns/key",
             flush=True,
         )
-    print(f"speedup: {dt_flat/dt_rows:.2f}x", flush=True)
+    print(f"rows vs flat: {dt_flat/dt_rows:.2f}x; "
+          f"aligned vs rows: {dt_rows/dt_alg:.2f}x "
+          f"(padding {ta['n_padded']/ta['n']:.3f}x)", flush=True)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,7 @@ def main():
         q_arr = jnp.asarray(queries)
         q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
         kw = dict(
+            probe_aligned=probe.get("aligned", False),
             slots2=slots2, lookback=lookback, unroll=unroll, M=M, P=32,
             sketch_compact=(12, 512, 192), pair_block=None,
         )

@@ -51,7 +51,7 @@ def _run_step(idx, queries, **kw):
         static_argnames=(
             "probe_bits", "C", "P", "M", "slots2", "max_count",
             "max_count_query", "max_count_target", "lookback", "unroll",
-            "max_span", "slots3", "sketch_compact",
+            "max_span", "slots3", "sketch_compact", "probe_aligned",
         ),
     )(
         jnp.asarray(padded),
@@ -62,6 +62,7 @@ def _run_step(idx, queries, **kw):
         jnp.asarray(idx["p_rows"]),
         idx["C"],
         P=idx["P"],
+        probe_aligned=probe.get("aligned", False),
         **kw,
     )
     return {k: np.asarray(v) for k, v in res.items()}
@@ -551,7 +552,7 @@ def test_real_pangenome_content_multiplicity_parity(test_data_dir):
         static_argnames=(
             "probe_bits", "C", "P", "M", "slots2", "max_count",
             "max_count_query", "max_count_target", "lookback", "unroll",
-            "max_span", "slots3", "sketch_compact",
+            "max_span", "slots3", "sketch_compact", "probe_aligned",
         ),
     )(
         jnp.asarray(queries),
@@ -565,6 +566,7 @@ def test_real_pangenome_content_multiplicity_parity(test_data_dir):
         M=M,
         slots2=128,
         lookback=8 * M,
+        probe_aligned=probe.get("aligned", False),
     )
     res = {k: np.asarray(v) for k, v in res.items()}
     assert not bool(res["overflow"])
