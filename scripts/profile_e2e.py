@@ -30,7 +30,7 @@ def main():
         min_span_filter_gapped,
         pair_mers_gapped,
     )
-    from pgrtk_tpu.ops.probe import probe_keys_dense
+    from pgrtk_tpu.ops.probe import probe_keys_aligned
     from pgrtk_tpu.ops.sketch import sketch_compact_mode2
     from pgrtk_tpu.utils import synth
 
@@ -143,7 +143,7 @@ def main():
         cp, cvalid, ovf = _front(seqs)
         rl = query_e2e.dup_pair_counts((cp[0], cp[1], cp[2], cp[3]), cvalid)
         table = dict(bits=bits, planes=[p0, p1, p2, p3], fence=fence)
-        found, row = probe_keys_dense(
+        found, row = probe_keys_aligned(
             table, cp[0].reshape(-1), cp[1].reshape(-1),
             cp[2].reshape(-1), cp[3].reshape(-1),
         )
@@ -155,7 +155,7 @@ def main():
         cp, cvalid, ovf = _front(seqs)
         rl = query_e2e.dup_pair_counts((cp[0], cp[1], cp[2], cp[3]), cvalid)
         table = dict(bits=bits, planes=[p0, p1, p2, p3], fence=fence)
-        found, row = probe_keys_dense(
+        found, row = probe_keys_aligned(
             table, cp[0].reshape(-1), cp[1].reshape(-1),
             cp[2].reshape(-1), cp[3].reshape(-1),
         )
@@ -171,7 +171,7 @@ def main():
         cp, cvalid, ovf = _front(seqs)
         rl = query_e2e.dup_pair_counts((cp[0], cp[1], cp[2], cp[3]), cvalid)
         table = dict(bits=bits, planes=[p0, p1, p2, p3], fence=fence)
-        found, row = probe_keys_dense(
+        found, row = probe_keys_aligned(
             table, cp[0].reshape(-1), cp[1].reshape(-1),
             cp[2].reshape(-1), cp[3].reshape(-1),
         )
