@@ -54,7 +54,6 @@ from .pairs import (
 )
 from .probe import (
     build_probe_table_aligned,
-    build_probe_table_dense,
     probe_keys_aligned,
     probe_keys_dense,
 )
@@ -116,7 +115,11 @@ def build_index(
                 15.5 ms stage with a sub-ms one at P=32).
       lookup    dict (k0, k1) -> [(0, sid, bgn, end, ori), ...] in
                 reference postings order, for the host parity pipeline
-      probe     dict from ops.probe.build_probe_table_dense
+      probe     dict from ops.probe.build_probe_table_aligned (postings
+                rows live at the probe's padded positions; "aligned"
+                marker True) or build_probe_table_dense on bucket
+                overflow ("aligned" False, rows in key-sorted order) —
+                pass probe["aligned"] as query_e2e_step's probe_aligned
       n_targets, n_multi (keys with any per-sid multiplicity > 1),
       n_truncated (keys with keyovf set), max_postings, max_mult
     """
@@ -253,16 +256,29 @@ def build_index(
     # probe table FIRST: the aligned layout (one row fetch per plane,
     # 28.8 vs 43.1 ns/key measured) assigns each key a PADDED position,
     # and the postings rows must live at those positions so the probe's
-    # matched row indexes p_rows directly.  Pathological key sets fall
-    # back to the two-row dense layout (positions = sorted order).
-    try:
-        probe = build_probe_table_aligned(keys)
-        inv = probe["pos"][inv]  # original order -> padded row
-        n_tab_rows = probe["n_padded"]
-    except ValueError:
-        probe = build_probe_table_dense(keys)
-        probe["aligned"] = False
-        n_tab_rows = len(keys)
+    # matched row indexes p_rows directly.  A skewed key set whose
+    # hottest bucket exceeds the 128-slot window at lambda=32 is retried
+    # at smaller lambda (more bucket bits splits skew); only keys
+    # sharing their ENTIRE top-24-bit h0 prefix beyond 128 deep cannot
+    # be bucketed at all — canonical Wang-hash pairs cannot do that
+    # without adversarial construction, so that raises.  (The dense
+    # two-row layout has the SAME 128-slot cap, so it is not a fallback
+    # — probe_aligned=False support in the step exists for externally
+    # built dense tables.)
+    probe = None
+    for lam in (32, 8, 2):
+        try:
+            probe = build_probe_table_aligned(keys, avg_per_bucket=lam)
+            break
+        except ValueError:
+            continue
+    if probe is None:
+        raise ValueError(
+            "probe bucket overflow at every lambda: >128 keys share one "
+            "top-24-bit h0 prefix (adversarial key set)"
+        )
+    inv = probe["pos"][inv]  # original order -> padded row
+    n_tab_rows = probe["n_padded"]
 
     n = n_tab_rows
     W = 128 * (-(-3 * P // 128))

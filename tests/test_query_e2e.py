@@ -607,3 +607,53 @@ def test_real_pangenome_content_multiplicity_parity(test_data_dir):
                 assert htrack == dtrack
             n_groups += 1
     assert n_groups == 2 * C
+
+
+def test_aligned_bucket_skew_retries_and_adversarial_raises():
+    """A skewed key set (hot bucket at lambda=32 that SPLITS at smaller
+    lambda) must build via the bits-retry; keys sharing their entire
+    top-24-bit h0 prefix >128 deep cannot be bucketed and must raise a
+    clear error (canonical Wang-hash pairs cannot do that without
+    adversarial construction)."""
+    from pgrtk_tpu.ops import query_e2e
+
+    rng = np.random.default_rng(4)
+
+    def arrays_for(k0, k1):
+        n = len(k0)
+        order = np.lexsort((k1, k0))
+        return dict(
+            k0=k0[order], k1=k1[order],
+            sid=np.zeros(n, np.uint32),
+            bgn=(np.arange(n, dtype=np.uint32) * 100 + 1),
+            end=(np.arange(n, dtype=np.uint32) * 100 + 80),
+            ori=np.zeros(n, np.uint32),
+        )
+
+    # skewed: 300 keys share the top ~14 bits but differ below -> hot at
+    # the default lambda sizing for n=2300, split by the retry
+    n_bg = 2000
+    bg0 = rng.integers(1 << 40, 1 << 56, size=n_bg, dtype=np.uint64)
+    # share only the top 8 (of 56) bits: hot at lambda=32 (7 bucket
+    # bits) and lambda=8 (9 bits -> 2 buckets of ~150), split at
+    # lambda=2 (11 bits -> ~8 buckets)
+    hot0 = (np.uint64(0x3A) << np.uint64(48)) + rng.integers(
+        0, 1 << 48, size=300, dtype=np.uint64
+    )
+    k0 = np.concatenate([bg0, hot0])
+    k1 = rng.integers(0, 1 << 56, size=len(k0), dtype=np.uint64)
+    idx = query_e2e.build_index(
+        pair_arrays=arrays_for(k0, k1), n_decoys=0, P=16
+    )
+    assert idx["probe"].get("aligned") is True  # retry succeeded
+
+    # adversarial: 700 distinct pairs, 4 distinct h0 values -> one
+    # bucket at every lambda
+    a0 = np.full(700, 0x00123456789A, np.uint64) + (
+        np.arange(700, dtype=np.uint64) % np.uint64(4)
+    )
+    a1 = rng.integers(0, 1 << 56, size=700, dtype=np.uint64)
+    with pytest.raises(ValueError, match="adversarial"):
+        query_e2e.build_index(
+            pair_arrays=arrays_for(a0, a1), n_decoys=0, P=16
+        )
