@@ -233,3 +233,51 @@ def test_pdb_codec_against_hand_authored_golden():
     finally:
         if os.path.exists(out):
             os.remove(out)
+
+
+def test_consensus_on_reference_corpora(test_data_dir):
+    """The reference's own ec tests pair each algorithm with a specific
+    corpus (ec.rs:695-796: naive/guided on consensus_test.fa,
+    shmmr_dbg on consensus_test3.fa, sparse_aln + with_sdb on
+    consensus_test5.fa) but only print — these assert.  Consensus
+    must reconstruct near the input length with full min_cov support."""
+    recs3 = read_fastx_all(
+        os.path.join(test_data_dir, "consensus_test3.fa")
+    )
+    seqs3 = [r.seq for r in recs3]
+    assert len(seqs3) == 34
+    out = ec.shmmr_dbg_consensus(seqs3)
+    assert out
+    best = max(len(s) for s, _ in out)
+    assert best > len(seqs3[0]) // 2
+    for s, cov in out:
+        assert len(s) == len(cov)
+
+    recs5 = read_fastx_all(
+        os.path.join(test_data_dir, "consensus_test5.fa")
+    )
+    seqs5 = [r.seq for r in recs5]
+    assert len(seqs5) == 6
+    out5 = ec.shmmr_sparse_aln_consensus(seqs5, None, 2)
+    assert out5
+    # the consensus SEGMENTS at coverage gaps (one (seq, cov) per
+    # supported region — the reference prints them all); each segment
+    # must be fully min_cov-supported and the union substantial
+    for s0, cov0 in out5:
+        assert len(s0) == len(cov0) and min(cov0) >= 2
+    assert sum(len(s) for s, _ in out5) > len(seqs5[0]) // 2
+
+    # with_sdb form through the facade (ec.rs:779-796: w=31 k=31 r=1
+    # min_span=0 spec, seed sequence sid 0)
+    import pgrtk_tpu
+
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_seq_list(
+        [(r.id.decode(), r.seq) for r in recs5], "memory", 31, 31, 1, 0
+    )
+    outdb = db.shmmr_sparse_aln_consensus([0], 2)
+    assert outdb and outdb[0][0] == 0
+    segs = outdb[0][1]
+    for s, cov in segs:
+        assert len(s) == len(cov)
+    assert sum(len(s) for s, _ in segs) > len(seqs5[0]) // 2
