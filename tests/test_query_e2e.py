@@ -657,3 +657,42 @@ def test_aligned_bucket_skew_retries_and_adversarial_raises():
         query_e2e.build_index(
             pair_arrays=arrays_for(a0, a1), n_decoys=0, P=16
         )
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 51, 64])
+def test_randomized_corpora_device_host_parity(seed):
+    """Property sweep: random mini-pangenomes with randomized tandem
+    geometry (unit length, copy count, placement) and SNP rates — the
+    device step's anchors must equal the host pipeline's count-filtered
+    hits for every (query, target) on every seed, with capacity flags
+    clean (or the affected lanes flagged, never silently wrong)."""
+    from pgrtk_tpu.ops import query_e2e
+
+    rng = np.random.default_rng(seed)
+    L = int(rng.integers(8192, 20000))
+    T = int(rng.integers(2, 6))
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    copies = int(rng.integers(2, 5))
+    u0 = int(rng.integers(512, 2048))
+    s0 = int(rng.integers(100, L - u0 * (copies + 1) - 100))
+
+    def make(rate):
+        s = _mutate(base, rate, rng)
+        return _tandem(s, s0, s0 + u0, copies)
+
+    targets = np.stack([make(2e-4) for _ in range(T)])
+    queries = np.stack([make(3e-4) for _ in range(2)])
+    idx = query_e2e.build_index(
+        targets, n_decoys=int(rng.integers(0, 3000)), seed=seed, P=32
+    )
+    assert idx["n_truncated"] == 0
+    M = max(2, int(idx["max_mult"]) + 1)
+    res = _run_step(
+        idx, queries, M=M, slots2=256, lookback=8 * M
+    )
+    assert not bool(res["overflow"])
+    assert not res["row_ovf"].any() and not res["mult_ovf"].any()
+    # groups the fast chain kernel flags would be host-fallback routed;
+    # anchors must be exact regardless
+    n = _assert_anchor_parity(idx, queries, res, idx["C"])
+    assert n > 0
