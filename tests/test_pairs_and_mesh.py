@@ -708,3 +708,78 @@ def test_sharded_e2e_query_multiplicity_and_ragged():
                 n_chain_groups += 1
     assert n_anchors_total > 0
     assert n_chain_groups >= (B * B) * 8 // 10
+
+
+def test_sharded_e2e_query_sixty_four_targets():
+    """Contig-scale target counts through the DISTRIBUTED path: 64
+    sequences (8 per device) self-queried over the v2 sharded index —
+    64x64 = 4096 (query, target) chain lanes — with exact anchor parity
+    per group (round-3 verdict: the old layout's static slot loop was
+    C=8 in every parity run; the general layout must hold at 64)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.ops import query_e2e
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    B, L = 64, 4096
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    seqs = np.stack([base.copy() for _ in range(B)])
+    for b in range(B):
+        n = rng.binomial(L, 5e-4)
+        pos = rng.choice(L, size=n, replace=False)
+        seqs[b, pos] = (seqs[b, pos] + rng.integers(1, 4, size=n)) % 4
+
+    mesh = pmesh.make_mesh(8)
+    axis = mesh.axis_names[0]
+    seqs_d = jax.device_put(
+        jnp.asarray(seqs), NamedSharding(mesh, P(axis, None))
+    )
+    lens_d = jax.device_put(
+        jnp.full(B, L, jnp.int32), NamedSharding(mesh, P(axis))
+    )
+    rids_d = jax.device_put(
+        jnp.arange(B, dtype=jnp.uint32), NamedSharding(mesh, P(axis))
+    )
+
+    cap = 8192
+    v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(
+        seqs_d, lens_d, rids_d
+    )
+    assert not bool(v2["shard_overflow"]) and not bool(v2["probe_overflow"])
+    # every key posts in ~64 targets: postings_cap must cover it
+    e2e = pmesh.sharded_query_v2_e2e_step(
+        mesh, cap, n_targets=B, slots2=64, postings_cap=96
+    )(seqs_d, lens_d, rids_d, *v2["probe"]["planes"])
+    for flag in ("compact_overflow", "route_overflow", "postings_overflow"):
+        assert not bool(e2e[flag]), flag
+    assert not np.asarray(e2e["row_ovf"]).any()
+    assert not np.asarray(e2e["mult_ovf"]).any()
+    anchors = np.asarray(e2e["anchors"])
+    gvalid = np.asarray(e2e["gvalid"])
+
+    idx = query_e2e.build_index(seqs, n_decoys=0, P=96)
+    assert idx["n_truncated"] == 0
+    lookup = idx["lookup"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    BASES = b"ACGT"
+    n_anchors = 0
+    for b in range(0, B, 7):  # sampled queries; every target checked
+        qbytes = bytes(bytearray(BASES[v] for v in seqs[b]))
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []), qbytes, spec
+        )
+        th = query_mod.collect_target_hits(raw)
+        for c in range(B):
+            g = b * B + c
+            dev = [
+                tuple(int(v) for v in row)
+                for row in anchors[g][gvalid[g]]
+            ]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host, f"anchor mismatch b={b} sid={c}"
+            n_anchors += len(host)
+    assert n_anchors > 10 * B  # real cross-target mass at 64 targets
