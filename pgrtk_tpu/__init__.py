@@ -14,11 +14,54 @@ from .core.ec import (  # noqa: F401
     shmmr_sparse_aln_consensus,
 )
 from .core.wfa import (  # noqa: F401
-    get_variant_segments,
     get_variants_from_aln_pair_map,
     wfa_align_bases,
     wfa_aln_pair_map,
 )
+
+
+def get_variant_segments(
+    target_str,
+    query_str,
+    max_wf_length=None,
+    mismatch_penalty=4,
+    open_penalty=3,
+    extension_penalty=1,
+    max_diff_percent=0.05,
+):
+    """Align two sequences (forward) and extract variants + the aligned
+    pair map (reference PyO3 surface: pgr-tk/src/lib.rs:1798-1837 —
+    NOT pgr-db's internal reversed-suffix get_variant_segments, which
+    lives at core.wfa.get_variant_segments / aln.rs:390-453).
+
+    Returns (variants, aln_pairs) or None when the alignment fails or
+    the implied divergence exceeds max_diff_percent: with a defaulted
+    max_wf_length = max(2*len_diff, 128), any value > 128 whose ratio
+    to the shorter sequence exceeds max_diff_percent is rejected before
+    aligning (lib.rs:1808-1819)."""
+    if isinstance(target_str, (bytes, bytearray)):
+        target_str = bytes(target_str).decode()
+    if isinstance(query_str, (bytes, bytearray)):
+        query_str = bytes(query_str).decode()
+    len_diff = abs(len(query_str) - len(target_str))
+    if max_wf_length is None:
+        max_wf_length = max(2 * len_diff, 128)
+    if max_wf_length > 128 and (
+        max_wf_length / max(1, min(len(target_str), len(query_str)))
+        > max_diff_percent
+    ):
+        return None
+    res = wfa_align_bases(
+        target_str, query_str, max_wf_length,
+        mismatch_penalty, open_penalty, extension_penalty,
+    )
+    if res is None:
+        return None
+    aln_pairs = wfa_aln_pair_map(res[0], res[1])
+    return (
+        get_variants_from_aln_pair_map(aln_pairs, target_str, query_str),
+        aln_pairs,
+    )
 from .core.fasta import reverse_complement  # noqa: F401
 from .core.pga import AGCFile, PgaFile  # noqa: F401
 from .core.agc import AgcFile, open_archive  # noqa: F401
