@@ -7,12 +7,38 @@ batched compute paths, a native C++ runtime for host-side scalar kernels
 and IO, and jax.sharding meshes for multi-chip scale-out.
 """
 from .api import SeqIndexDB, get_principal_bundle_decomposition  # noqa: F401
-from .core.ec import (  # noqa: F401
-    guided_shmmr_dbg_consensus,
-    naive_dbg_consensus,
-    shmmr_dbg_consensus,
-    shmmr_sparse_aln_consensus,
-)
+from .core import ec as _ec
+from .core.spec import ShmmrSpec as _ShmmrSpecForEc
+
+
+def naive_dbg_consensus(seqs, kmer_size=33, min_cov=2):
+    """Naive de Bruijn graph consensus (PyO3 surface:
+    pgr-tk/src/lib.rs:1857-1885; algorithm core/ec.py <- ec.rs:21-149)."""
+    return _ec.naive_dbg_consensus(seqs, kmer_size, min_cov)
+
+
+def shmmr_dbg_consensus(seqs, w=33, k=33, r=1, min_span=0):
+    """Shimmer de Bruijn graph consensus (PyO3 surface:
+    pgr-tk/src/lib.rs:1887-1909 — takes w/k/r/min_span and builds a
+    sketch=False ShmmrSpec; algorithm core/ec.py <- ec.rs:156-267)."""
+    spec = _ShmmrSpecForEc(w=w, k=k, r=r, min_span=min_span, sketch=False)
+    return _ec.shmmr_dbg_consensus(seqs, spec)
+
+
+def guided_shmmr_dbg_consensus(seqs, w=33, k=33, r=1, min_span=0,
+                               min_cov=2):
+    """Guided shimmer DBG consensus (PyO3 surface:
+    pgr-tk/src/lib.rs:1929-1967; algorithm core/ec.py <- ec.rs:274-470)."""
+    spec = _ShmmrSpecForEc(w=w, k=k, r=r, min_span=min_span, sketch=False)
+    return _ec.guided_shmmr_dbg_consensus(seqs, spec, min_cov)
+
+
+def shmmr_sparse_aln_consensus(seqs, w=33, k=33, r=1, min_span=0,
+                               min_cov=2):
+    """Sparse-alignment consensus (PyO3 surface:
+    pgr-tk/src/lib.rs:1969-2007; algorithm core/ec.py <- ec.rs:479-508)."""
+    spec = _ShmmrSpecForEc(w=w, k=k, r=r, min_span=min_span, sketch=False)
+    return _ec.shmmr_sparse_aln_consensus(seqs, spec, min_cov)
 from .core.wfa import (  # noqa: F401
     get_variants_from_aln_pair_map,
     wfa_align_bases,
@@ -132,14 +158,15 @@ def get_shmmr_dots(seq0, seq1, w=80, k=56, r=4, min_span=16):
 def get_wfa_aln_pair_map(
     target_str,
     query_str,
-    max_wf_length,
-    mismatch_penalty,
-    open_penalty,
-    extension_penalty,
-    max_diff_percent,
+    max_wf_length=None,
+    mismatch_penalty=4,
+    open_penalty=3,
+    extension_penalty=1,
+    max_diff_percent=0.02,
 ):
     """WFA + pair map with a length-difference guard
-    (reference: pgr-tk/src/lib.rs:1737-1772)."""
+    (reference: pgr-tk/src/lib.rs:1737-1772, defaults from the
+    pyfunction signature at :1736)."""
     from .core import wfa as wfa_mod
 
     diff = abs(len(query_str) - len(target_str))
