@@ -123,13 +123,15 @@ class SeqIndexDB:
     def load_from_seq_list(
         self,
         seq_list: List[Tuple[str, bytes]],
-        source: Optional[str] = None,
+        source: Optional[str] = "Memory",
         w=80,
         k=56,
         r=4,
-        min_span=64,
+        min_span=8,
     ) -> None:
-        """(reference: ext.rs:212-249)"""
+        """(reference: ext.rs:212-249; defaults from the PyO3 signature
+        pgr-tk/src/lib.rs:196 — note min_span=8 here vs 64 for
+        load_from_fastx, a reference asymmetry)"""
         spec = ShmmrSpec(w=w, k=k, r=r, min_span=min_span, sketch=False)
         sdb = CompactSeqDB(spec)
         sdb.load_seqs([(source, name, seq) for name, seq in seq_list])
@@ -371,8 +373,11 @@ class SeqIndexDB:
             ]
         return out
 
-    def get_shmmr_pair_count(self):
-        return {k: len(v) for k, v in self.get_shmmr_map().items()}
+    def get_shmmr_pair_count(self, shmmr_pair):
+        """Postings count for ONE shimmer pair, 0 if absent
+        (reference: pgr-tk/src/lib.rs:635-648 — per-pair lookup, not a
+        whole-table aggregate)."""
+        return len(self.get_shmmr_map().get(tuple(shmmr_pair), ()))
 
     def get_shmmr_pair_list(self):
         out = []
@@ -678,17 +683,24 @@ class SeqIndexDB:
             list(sids), self.seq_db, min_cov
         )
 
-    def get_shmmr_pair_source_count(self, max_unique_count=None):
-        counts = {}
-        for (h0, h1), sigs in self.get_shmmr_map().items():
-            sources = set()
-            for _fid, sid, _b, _e, _o in sigs:
-                info = self.seq_info.get(sid)
-                if info is not None:
-                    sources.add(info[1])
-            if max_unique_count is None or len(sources) <= max_unique_count:
-                counts[(h0, h1)] = len(sources)
-        return counts
+    def get_shmmr_pair_source_count(self, shmmr_pair, max_unique_count):
+        """Hit counts of ONE shimmer pair partitioned by source file:
+        [(source, count)] with counts >= max_unique_count filtered out
+        (strict <, reference: pgr-tk/src/lib.rs:668-719; a None source
+        prints as the empty string there, replicated)."""
+        sigs = self.get_shmmr_map().get(tuple(shmmr_pair))
+        if sigs is None:
+            return []
+        count = {}
+        for _fid, sid, _b, _e, _o in sigs:
+            info = self.seq_info.get(sid)
+            source = (info[1] if info and info[1] is not None else "")
+            count[source] = count.get(source, 0) + 1
+        return [
+            (k, v)
+            for k, v in count.items()
+            if max_unique_count is None or v < max_unique_count
+        ]
 
 
 def get_principal_bundle_decomposition(vertex_to_bundle_id_direction_pos, seq_db):

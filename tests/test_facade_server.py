@@ -20,12 +20,26 @@ def db(test_data_dir):
 def test_shmmr_pair_views(db):
     spec = db.get_shmmr_spec()
     assert spec == (80, 56, 4, 64, False)
-    counts = db.get_shmmr_pair_count()
-    assert counts and all(v > 0 for v in counts.values())
     lst = db.get_shmmr_pair_list()
-    assert len(lst) == sum(counts.values())
-    src_counts = db.get_shmmr_pair_source_count()
-    assert set(src_counts) == set(counts)
+    assert lst
+    # per-PAIR lookups (reference lib.rs:635-719 semantics)
+    pairs = {(h0, h1) for h0, h1, *_ in lst}
+    total = 0
+    for pair in list(pairs)[:50]:
+        c = db.get_shmmr_pair_count(pair)
+        assert c > 0
+        total += c
+        by_src = db.get_shmmr_pair_source_count(pair, None)
+        assert sum(v for _s, v in by_src) == c
+        # strict < filter drops sources at/above the cap
+        assert db.get_shmmr_pair_source_count(pair, 1) == [
+            (s, v) for s, v in by_src if v < 1
+        ]
+    assert db.get_shmmr_pair_count((1, 2)) == 0  # absent pair
+    # full-table mass agrees with the pair list
+    assert sum(
+        db.get_shmmr_pair_count(p) for p in pairs
+    ) == len(lst)
 
 
 def test_bundle_projection_external_sequence(db, test_data_dir):
