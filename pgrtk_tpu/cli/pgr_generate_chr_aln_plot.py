@@ -27,6 +27,12 @@ def main(argv=None):
     p.add_argument("--total-target-bases", type=float, default=None)
     p.add_argument("--panel-width", type=float, default=1400.0)
     p.add_argument("--ctg", default=None)
+    p.add_argument(
+        "--cytoband-json", default=None,
+        help="draw the reference track with cytobands (JSON "
+        '{"cytobands": {ctg: [[bgn, end, name, stain], ...]}} — '
+        "reference: pgr-generate-chr-aln-plot.rs:40-42,439-467)",
+    )
     p.add_argument("--ref-annotation-bed", default=None)
     p.add_argument("--svg", action="store_true")
     from ..utils.version import add_version_arg
@@ -41,6 +47,11 @@ def main(argv=None):
     query_ids: Dict[str, int] = {}
     for _id, name, _ln in ctgmap["query_length"]:
         query_ids[name] = _id
+
+    cytobands: Dict[str, List] = {}
+    if args.cytoband_json:
+        with open(args.cytoband_json) as f:
+            cytobands = json.load(f)["cytobands"]
 
     ref_highlight: Dict[str, List] = {}
     if args.ref_annotation_bed:
@@ -77,11 +88,29 @@ def main(argv=None):
             f'<text x="4" y="{y_offset + 10}" font-size="12px" '
             f'font-family="monospace">{t_name}</text>'
         )
-        body.append(
-            f'<path stroke="#000" stroke-width="8" fill="none" '
-            f'stroke-opacity="0.7" stroke-linecap="round" '
-            f'd="M {x0:0.4f} {y_offset + 26} L {x0 + w:0.4f} {y_offset + 26}"/>'
-        )
+        if t_name in cytobands:
+            # cytoband-striped reference track: gpos* black, acen
+            # yellow, everything else grey; band name in the tooltip
+            # (reference stain mapping: chr-aln-plot.rs:444-451)
+            for cs, ce, c_name, band in cytobands[t_name]:
+                color = (
+                    "#000" if str(band).startswith("gpos")
+                    else ("#FF0" if band == "acen" else "#AAA")
+                )
+                body.append(
+                    f'<path stroke="{color}" stroke-width="8" fill="none" '
+                    f'stroke-opacity="0.7" '
+                    f'd="M {x0 + cs * scale:0.4f} {y_offset + 26} '
+                    f'L {x0 + ce * scale:0.4f} {y_offset + 26}">'
+                    f"<title>{c_name}</title></path>"
+                )
+        else:
+            body.append(
+                f'<path stroke="#000" stroke-width="8" fill="none" '
+                f'stroke-opacity="0.7" stroke-linecap="round" '
+                f'd="M {x0:0.4f} {y_offset + 26} '
+                f'L {x0 + w:0.4f} {y_offset + 26}"/>'
+            )
         for b, e in ref_highlight.get(t_name, []):
             body.append(
                 f'<path stroke="#F00" stroke-width="6" fill="none" '

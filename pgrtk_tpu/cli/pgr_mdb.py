@@ -28,6 +28,13 @@ def main(argv=None):
     p.add_argument("-r", type=int, default=4)
     p.add_argument("-m", "--min-span", type=int, default=64)
     p.add_argument("-s", "--sketch", action="store_true")
+    p.add_argument(
+        "-p", "--prefetching", action="store_true",
+        help="prefetch archive contigs ahead of the sketcher (more "
+        "memory, faster for archives with many small contigs — the "
+        "reference's AGC prefetching flag, pgr-mdb.rs:44-46; here it "
+        "deepens the reader pool's read-ahead window)",
+    )
     p.add_argument("--number-of-readers", type=int, default=4)
     from ..utils.version import add_version_arg
 
@@ -44,7 +51,10 @@ def main(argv=None):
         # chunked streaming build: reader threads decode ahead of the
         # sketcher with bounded memory (core/archive_pipeline.py)
         for records in stream_archive(
-            path, nthreads=args.number_of_readers
+            path,
+            nthreads=args.number_of_readers,
+            prefetch=16 if args.prefetching else 4,
+            chunk_contigs=256 if args.prefetching else 1024,
         ):
             db.load_index_only(records)
     db.write_mdb_midx(args.prefix)

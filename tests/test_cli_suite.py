@@ -342,3 +342,82 @@ def test_pgr_shmmr_pair_count_cli(tmp_path, test_data_dir):
         n = sum(1 for v in cnt.values() if v <= 2)
         expected.append(f"{key[0]} {key[1]} {n}")
     assert lines == expected
+
+
+def test_pgr_compare_cov_from_prebuilt_index(test_data_dir, tmp_path):
+    """The -f/--frg-idx-prefix mode (reference:
+    pgr-compare-cov.rs:305-509): ONE pre-built db whose sources
+    partition into the two sample sets via the filepath lists; per-pair
+    counts come from the shared fragment map, set0 rows report
+    r = c1/c0 and set1 rows r = c0/c1."""
+    from pgrtk_tpu.cli import pgr_compare_cov, pgr_make_frgdb
+
+    fa0 = os.path.join(test_data_dir, "test_agc_ref.fa")
+    fa1 = os.path.join(test_data_dir, "test_agc_seqs.fa")
+    flist = tmp_path / "files.txt"
+    flist.write_text(fa0 + "\n" + fa1 + "\n")
+    dbp = str(tmp_path / "covdb")
+    assert pgr_make_frgdb.main([str(flist), dbp]) == 0
+
+    l0 = tmp_path / "set0.txt"
+    l0.write_text(fa0 + "\n")
+    l1 = tmp_path / "set1.txt"
+    l1.write_text(fa1 + "\n")
+    prefix = str(tmp_path / "icov")
+    assert pgr_compare_cov.main(
+        [str(l0), str(l1), prefix, "-f", dbp]
+    ) == 0
+    rows0 = [l.split("\t") for l in open(prefix + ".0.bedgraph")]
+    rows1 = [l.split("\t") for l in open(prefix + ".1.bedgraph")]
+    assert rows0 and rows1
+    # set0 rows: (ctg, p0, p1, c1/c0, c0, c1) with c0 > 0
+    for ctg, p0, p1, r, c0, c1 in rows0[:200]:
+        assert int(c0) > 0
+        assert abs(float(r) - int(c1) / int(c0)) < 1e-4
+    for ctg, p0, p1, r, c1, c0 in rows1[:200]:
+        assert int(c1) > 0
+        assert abs(float(r) - int(c0) / int(c1)) < 1e-4
+
+
+def test_pgr_generate_chr_aln_plot_cytoband(tmp_path, sv_outputs):
+    """--cytoband-json stripes the reference track (gpos* black, acen
+    yellow, others grey) with band-name tooltips."""
+    import json
+
+    from pgrtk_tpu.cli import pgr_generate_chr_aln_plot as cap
+
+    with open(sv_outputs / "sv.ctgmap.json") as f:
+        t_name = json.load(f)["target_length"][0][1]
+    cyto = tmp_path / "cyto.json"
+    cyto.write_text(json.dumps({
+        "cytobands": {
+            t_name: [
+                [0, 50_000, "p11", "gneg"],
+                [50_000, 120_000, "p12", "gpos50"],
+                [120_000, 150_000, "cen", "acen"],
+            ]
+        }
+    }))
+    prefix = str(tmp_path / "cplot")
+    assert cap.main([
+        str(sv_outputs / "sv.ctgmap.json"), prefix, "--svg",
+        "--cytoband-json", str(cyto),
+    ]) == 0
+    svg = open(prefix + ".svg").read()
+    assert 'stroke="#AAA"' in svg       # gneg band
+    assert 'stroke="#FF0"' in svg       # acen band
+    assert "<title>p12</title>" in svg  # band tooltip
+
+
+def test_pgr_mdb_prefetching_flag(test_data_dir, tmp_path):
+    """-p/--prefetching must be accepted and produce a byte-identical
+    index (it only changes the reader pipeline's read-ahead)."""
+    from pgrtk_tpu.cli import pgr_mdb
+
+    flist = tmp_path / "archives.txt"
+    flist.write_text(os.path.join(test_data_dir, "test.agc") + "\n")
+    a, b = str(tmp_path / "idxa"), str(tmp_path / "idxb")
+    assert pgr_mdb.main([str(flist), a, "-s"]) == 0
+    assert pgr_mdb.main([str(flist), b, "-s", "--prefetching"]) == 0
+    assert open(a + ".mdb", "rb").read() == open(b + ".mdb", "rb").read()
+    assert open(a + ".midx").read() == open(b + ".midx").read()
