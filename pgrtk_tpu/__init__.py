@@ -209,8 +209,17 @@ def rc_u8_seq(seq: bytes) -> bytes:
     return reverse_complement(seq)
 
 
+# the reference's rc() string map is zip("ACGTNnactg", "TGCANntgca") —
+# note the LOWERCASE side is typo-ordered ("actg"), so lowercase t -> c
+# and g -> a (pgrtk/__init__.py:75).  Replicated bit-for-bit: this repo
+# reproduces reference behavior including its quirks; the byte-level
+# helpers rc_byte_seq/rc_u8_seq use the reference's CORRECT byte map
+# ("acgt" -> "tgca") and are the ones to use on soft-masked sequence.
+_RC_STR_MAP = dict(zip("ACGTNnactg", "TGCANntgca"))
+
+
 def rc(seq: str) -> str:
-    return reverse_complement(seq.encode()).decode()
+    return "".join([_RC_STR_MAP[c] for c in seq[::-1]])
 
 
 def string_to_u8(s: str) -> bytes:
