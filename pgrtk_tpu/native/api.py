@@ -156,6 +156,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.pgr_probe_align_starts.restype = ctypes.c_int64
+        lib.pgr_probe_align_starts.argtypes = [
+            np.ctypeslib.ndpointer(np.int64),  # counts (nb,)
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),  # starts out (nb,)
+        ]
         lib.pgr_dfs_walk.restype = None
         lib.pgr_dfs_walk.argtypes = [
             np.ctypeslib.ndpointer(np.uint64),   # node_keys (n, 3)
@@ -638,3 +644,17 @@ def mdb_scan(path: str):
         sketch=(header[4] & 1) == 1,
     )
     return spec, keys, starts, counts
+
+
+def probe_align_starts(counts: np.ndarray):
+    """Bucket-padding scan for the aligned probe layout (native; the
+    sequential recurrence costs ~8 s in Python at 32M keys — see
+    ops/probe.py::build_probe_table_aligned).  Returns (starts (nb,)
+    int64, n_padded).  None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    starts = np.empty(len(counts), dtype=np.int64)
+    n_padded = lib.pgr_probe_align_starts(counts, len(counts), starts)
+    return starts, int(n_padded)

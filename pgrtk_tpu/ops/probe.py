@@ -182,17 +182,28 @@ def build_probe_table_aligned(keys: np.ndarray, avg_per_bucket: int = 32):
         )
     nb = 1 << bits
     # padded bucket starts: advance to the next row boundary whenever a
-    # bucket would straddle one (vectorized scan over bucket offsets)
-    starts = np.zeros(nb, dtype=np.int64)
-    off = 0
-    # python loop over BUCKETS (nb ~ n/lambda) is the build cost; the
-    # arithmetic is trivial and the build is host-side one-time
-    for b in range(nb):
-        if (off & 127) + counts[b] > 128:
-            off = (off + 127) & ~127
-        starts[b] = off
-        off += counts[b]
-    n_padded = int(off)
+    # bucket would straddle one.  Sequential recurrence — the native
+    # scan (native/src/probe_align.cc) runs it at memory speed (the
+    # Python loop costs ~8 s at 32M keys / 1M buckets); fallback stays
+    # for environments without the native library
+    native_starts = None
+    try:
+        from ..native import api as native_api
+
+        native_starts = native_api.probe_align_starts(counts)
+    except Exception:  # pragma: no cover - native build unavailable
+        native_starts = None
+    if native_starts is not None:
+        starts, n_padded = native_starts
+    else:  # pragma: no cover - exercised only without libpgrtk.so
+        starts = np.zeros(nb, dtype=np.int64)
+        off = 0
+        for b in range(nb):
+            if (off & 127) + counts[b] > 128:
+                off = (off + 127) & ~127
+            starts[b] = off
+            off += counts[b]
+        n_padded = int(off)
     fence = np.zeros(nb + 1, dtype=np.int32)
     fence[:nb] = starts
     fence[nb] = n_padded
