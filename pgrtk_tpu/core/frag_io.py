@@ -56,6 +56,30 @@ class FragFileStorage:
             self.seq_info[sid] = (name, source, slen)
         self._group_cache: Dict[int, list] = {}
         self._seq_off_cache: Dict[int, "np.ndarray"] = {}
+        # native reconstruction views (native/src/frg.cc): the frg blob
+        # after the magic plus per-group (offset, size) arrays — sequence
+        # fetches then decompress + bincode-parse + delta-apply in C++
+        # (~3 us/fragment in Python); python paths stay as the fallback
+        import numpy as np
+
+        self._frg_arr = np.frombuffer(self.frg_data, dtype=np.uint8)[7:]
+        self._grp_off = np.asarray(
+            [o for o, _s, _b in self.frag_addr_offsets], dtype=np.int64
+        )
+        self._grp_size = np.asarray(
+            [s for _o, s, _b in self.frag_addr_offsets], dtype=np.int64
+        )
+        self._native = None  # lazy: None = untried, False = unavailable
+
+    def _native_api(self):
+        if self._native is None:
+            try:
+                from ..native import api as native_api
+
+                self._native = native_api if native_api.available() else False
+            except Exception:  # pragma: no cover
+                self._native = False
+        return self._native or None
 
     # ------------------------------------------------------------------
     def _fetch_group(self, gid: int) -> list:
@@ -100,6 +124,15 @@ class FragFileStorage:
 
     def get_seq_by_id(self, sid: int) -> bytes:
         source, name, _id, (start, n), slen = self.seqs[sid]
+        nat = self._native_api()
+        if nat is not None:
+            out = nat.frg_sub_bases(
+                self._frg_arr, self._grp_off, self._grp_size,
+                self.chunk_size, self.spec.k, start, start + n, slen,
+            )
+            if out is not None:
+                assert len(out) == slen, (len(out), slen)
+                return out
         out = b"".join(
             self._frag_bases(self._get_frag(f)) for f in range(start, start + n)
         )
@@ -119,9 +152,19 @@ class FragFileStorage:
             return cached
         _src, _name, _id, (start, n), _slen = self.seqs[sid]
         k = self.spec.k
+        nat = self._native_api()
+        lens = None
+        if nat is not None:
+            lens = nat.frg_base_lens(
+                self._frg_arr, self._grp_off, self._grp_size,
+                self.chunk_size, k, start, start + n,
+            )
         offs = np.zeros(n + 1, dtype=np.int64)
-        for j, fid in enumerate(range(start, start + n)):
-            offs[j + 1] = offs[j] + _frag_base_len(self._get_frag(fid), k)
+        if lens is not None:
+            np.cumsum(lens, out=offs[1:])
+        else:
+            for j, fid in enumerate(range(start, start + n)):
+                offs[j + 1] = offs[j] + _frag_base_len(self._get_frag(fid), k)
         if len(self._seq_off_cache) > 4096:
             self._seq_off_cache.clear()
         self._seq_off_cache[sid] = offs
@@ -140,11 +183,20 @@ class FragFileStorage:
             first, int(np.searchsorted(offs, max(end - 1, bgn), side="right")) - 1
         )
         last = min(last, n - 1)
-        parts = [
-            self._frag_bases(self._get_frag(start + j))
-            for j in range(first, last + 1)
-        ]
-        rec = b"".join(parts)
+        nat = self._native_api()
+        rec = None
+        if nat is not None:
+            rec = nat.frg_sub_bases(
+                self._frg_arr, self._grp_off, self._grp_size,
+                self.chunk_size, self.spec.k,
+                start + first, start + last + 1,
+                int(offs[last + 1] - offs[first]),
+            )
+        if rec is None:
+            rec = b"".join(
+                self._frag_bases(self._get_frag(start + j))
+                for j in range(first, last + 1)
+            )
         offset = bgn - int(offs[first])
         return rec[offset : offset + (end - bgn)]
 

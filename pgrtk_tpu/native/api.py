@@ -156,6 +156,33 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
             ctypes.POINTER(ctypes.c_uint64),
         ]
+        lib.pgr_frg_base_lens.restype = ctypes.c_int64
+        lib.pgr_frg_base_lens.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8),   # frg blob (after magic)
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),   # group offsets
+            np.ctypeslib.ndpointer(np.int64),   # group sizes
+            ctypes.c_int64,                     # n_groups
+            ctypes.c_int64,                     # chunk
+            ctypes.c_int64,                     # k
+            ctypes.c_int64,                     # fid_bgn
+            ctypes.c_int64,                     # fid_end
+            np.ctypeslib.ndpointer(np.int64),   # out lens
+        ]
+        lib.pgr_frg_sub_bases.restype = ctypes.c_int64
+        lib.pgr_frg_sub_bases.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8),   # out bases
+            ctypes.c_int64,                     # out cap
+        ]
         lib.pgr_probe_align_starts.restype = ctypes.c_int64
         lib.pgr_probe_align_starts.argtypes = [
             np.ctypeslib.ndpointer(np.int64),  # counts (nb,)
@@ -658,3 +685,35 @@ def probe_align_starts(counts: np.ndarray):
     starts = np.empty(len(counts), dtype=np.int64)
     n_padded = lib.pgr_probe_align_starts(counts, len(counts), starts)
     return starts, int(n_padded)
+
+
+def frg_base_lens(frg_arr, grp_off, grp_size, chunk, k, fid_bgn, fid_end):
+    """Per-fragment contributed lengths from the .frg blob (header parse
+    only).  None if the native library is unavailable or parsing fails."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(fid_end - fid_bgn, dtype=np.int64)
+    rc = lib.pgr_frg_base_lens(
+        frg_arr, len(frg_arr), grp_off, grp_size, len(grp_off),
+        chunk, k, fid_bgn, fid_end, out,
+    )
+    return out if rc == 0 else None
+
+
+def frg_sub_bases(frg_arr, grp_off, grp_size, chunk, k, fid_bgn, fid_end,
+                  total_len):
+    """Concatenated contributed bases of frag ids [fid_bgn, fid_end)
+    (decompress + bincode parse + delta apply + rc in C++).  None if
+    unavailable or on parse failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(total_len, dtype=np.uint8)
+    got = lib.pgr_frg_sub_bases(
+        frg_arr, len(frg_arr), grp_off, grp_size, len(grp_off),
+        chunk, k, fid_bgn, fid_end, out, total_len,
+    )
+    if got < 0:
+        return None
+    return out[:got].tobytes()

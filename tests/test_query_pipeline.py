@@ -180,3 +180,45 @@ def test_vectorized_query_pairs_match_scalar_path_with_ties(monkeypatch):
     ties = [h for h in scalar_out if h[0][0] == h[0][1]]
     assert len(ties) == 3
     assert all(h[1][2] == 1 for h in ties)
+
+
+def test_native_frg_reconstruction_matches_python(test_data_dir):
+    """native/src/frg.cc (decompress + bincode parse + delta apply + rc
+    in C++) must reconstruct exactly what the Python fallback does —
+    full sequences, per-fragment offsets, and random sub-ranges — on the
+    REFERENCE-written .frg store."""
+    import numpy as np
+
+    from pgrtk_tpu.core.frag_io import FragFileStorage
+
+    st = FragFileStorage(
+        os.path.join(test_data_dir, "test_seqs_frag")
+    )
+    if st._native_api() is None:  # pragma: no cover
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    api = st._native
+    for sid in range(0, len(st.seqs), 5):
+        slen = st.seqs[sid][4]
+        nat_full = st.get_seq_by_id(sid)
+        nat_offs = st._frag_offsets(sid).copy()
+        st._native = False
+        st._seq_off_cache.clear()
+        py_full = st.get_seq_by_id(sid)
+        py_offs = st._frag_offsets(sid)
+        assert nat_full == py_full, sid
+        assert np.array_equal(nat_offs, py_offs), sid
+        for _ in range(4):
+            b = int(rng.integers(0, slen - 1))
+            e = int(rng.integers(b + 1, slen + 1))
+            py_sub = st.get_sub_seq_by_id(sid, b, e)
+            st._native = api
+            st._seq_off_cache.clear()
+            nat_sub = st.get_sub_seq_by_id(sid, b, e)
+            assert nat_sub == py_sub, (sid, b, e)
+            st._native = False
+            st._seq_off_cache.clear()
+        st._native = api
+        st._seq_off_cache.clear()
