@@ -83,7 +83,7 @@ def main():
     q_arr = jnp.asarray(queries)
     q_lens = jnp.full((BQ,), LQ, dtype=jnp.int32)
 
-    M, SLOTS2, SLOTS3, LOOKBACK, UNROLL = 3, 256, 352, 24, 16
+    M, SLOTS2, SLOTS3, LOOKBACK, UNROLL = 3, 192, 352, 24, 16
     SK = (12, 512, 192)
     PP = 32  # postings slots per key (row layout)
 
@@ -282,9 +282,12 @@ def main():
 
         int(chain_fn(q_arr, jnp.int32(1), *tables)[1])
         int(chain_fn(q_arr, jnp.int32(1), *tables)[1])
-        t0 = time.time()
-        int(chain_fn(q_arr, jnp.int32(n_iters), *tables)[1])
-        return (time.time() - t0) / n_iters
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            int(chain_fn(q_arr, jnp.int32(n_iters), *tables)[1])
+            best = min(best, (time.time() - t0) / n_iters)
+        return best
 
     total_bases = BQ * LQ
     prev_ms = 0.0

@@ -19,10 +19,10 @@ import numpy as np
 
 CONFIGS = [
     # (qchunk, slots2, M, lookback, unroll)
-    (16, 224, 3, 24, 16),   # current bench config (round-4 winner)
-    (16, 224, 3, 24, 32),
-    (16, 224, 3, 16, 16),
-    (16, 192, 3, 24, 16),
+    (16, 192, 3, 24, 16),   # current bench config (round-4 winner)
+    (32, 128, 3, 24, 16),
+    (32, 112, 3, 24, 16),
+    (32, 96, 3, 24, 16),
 ]
 
 
