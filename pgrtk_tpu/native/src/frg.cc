@@ -118,9 +118,15 @@ struct Ctx {
       }
     }
     bool ok = (rc == Z_STREAM_END);
-    g.data.resize(zs.total_out);
+    size_t total = zs.total_out;
     inflateEnd(&zs);
     if (!ok) return nullptr;
+    // 16 zero guard bytes: read_varint can touch up to 8 bytes past its
+    // tag without per-byte bounds checks; the pos<=len checks after the
+    // fact reject malformed fragments, the guard keeps the overread
+    // inside owned memory on truncated/corrupt input
+    g.data.resize(total + 16, 0);
+    g.data.resize(total);
     // index fragment offsets (count-prefixed list)
     const uint8_t *p = g.data.data();
     int64_t dlen = (int64_t)g.data.size();
