@@ -222,3 +222,43 @@ def test_native_frg_reconstruction_matches_python(test_data_dir):
             st._seq_off_cache.clear()
         st._native = api
         st._seq_off_cache.clear()
+
+
+def test_frg_reader_survives_corrupt_input(test_data_dir, tmp_path):
+    """Bit-flipped / truncated .frg files must raise clean Python
+    exceptions (or reconstruct unaffected sequences), never crash the
+    process — the reference's AGC wrapper documents that corrupt
+    archives segfault (agc_io.rs:71-75); the native frg path fails to
+    the Python codec, which raises."""
+    import shutil
+
+    import numpy as np
+
+    from pgrtk_tpu.core.frag_io import FragFileStorage
+
+    src_prefix = os.path.join(test_data_dir, "test_seqs_frag")
+    rng = np.random.default_rng(13)
+    frg = open(src_prefix + ".frg", "rb").read()
+    n_ok = n_raised = 0
+    for trial in range(20):
+        pref = str(tmp_path / f"c{trial}")
+        for ext in (".sdx", ".mdb", ".midx"):
+            shutil.copy(src_prefix + ext, pref + ext)
+        buf = bytearray(frg)
+        if trial % 4 == 0:  # truncate
+            buf = buf[: len(buf) // (2 + trial % 3)]
+        else:  # flip a handful of payload bytes
+            for p in rng.integers(8, len(buf), size=8):
+                buf[p] ^= 0xFF
+        with open(pref + ".frg", "wb") as f:
+            f.write(bytes(buf))
+        try:
+            st = FragFileStorage(pref)
+            for sid in (0, 7, 33):
+                st.get_seq_by_id(sid)
+                st.get_sub_seq_by_id(sid, 10, 500)
+            n_ok += 1
+        except Exception:
+            n_raised += 1
+    assert n_ok + n_raised == 20  # every trial ended in python control
+    assert n_raised > 0  # the corruptions were real
