@@ -144,3 +144,38 @@ def test_stream_archive_parallel_matches_sync(test_data_dir):
         for rec in chunk
     ]
     assert got == want and len(got) > 4
+
+
+def test_agc_reader_survives_corrupt_input(tmp_path):
+    """Bit-flipped / truncated .agc archives must raise clean Python
+    exceptions, never crash — the reference's wrapper documents that
+    corrupt AGC files segfault its C++ library (agc_io.rs:71-75); our
+    reverse-engineered reader is bounds-checked."""
+    import numpy as np
+
+    from pgrtk_tpu.core.agc import open_archive
+
+    src = "/root/reference/pgr-db/test/test_data/test.agc"
+    data = bytearray(open(src, "rb").read())
+    rng = np.random.default_rng(1)
+    n_ok = n_raised = 0
+    for trial in range(15):
+        buf = bytearray(data)
+        if trial % 4 == 0:
+            buf = buf[: len(buf) // 2]
+        else:
+            for p in rng.integers(16, len(buf), size=6):
+                buf[p] ^= 0xFF
+        path = str(tmp_path / f"c{trial}.agc")
+        with open(path, "wb") as f:
+            f.write(bytes(buf))
+        try:
+            a = open_archive(path)
+            for s in a.list_samples()[:1]:
+                for ctg, _l in a.list_ctgs(s)[:2]:
+                    a.get_sub_seq(s, ctg, 0, 200)
+            n_ok += 1
+        except Exception:
+            n_raised += 1
+    assert n_ok + n_raised == 15
+    assert n_raised > 0
