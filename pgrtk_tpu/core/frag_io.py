@@ -183,7 +183,13 @@ class FragFileStorage:
             first, int(np.searchsorted(offs, max(end - 1, bgn), side="right")) - 1
         )
         last = min(last, n - 1)
-        nat = self._native_api()
+        # native reconstruction amortizes its per-call group inflate
+        # over many fragments; SMALL fetches (server ROI loops hitting
+        # the same groups repeatedly) stay on the Python path whose
+        # group cache makes repeat hits free
+        nat = (
+            self._native_api() if (last + 1 - first) > 16 else None
+        )
         rec = None
         if nat is not None:
             rec = nat.frg_sub_bases(
