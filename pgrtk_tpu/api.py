@@ -53,7 +53,7 @@ def consensus_bundle_order_direction(
             direction = 0 if sum(dirs) < (len(dirs) >> 1) else 1
             out.append((mean_ord, bid, direction))
         else:
-            out.append((2**63, bid, 0))
+            out.append((2**64 - 1, bid, 0))  # usize::MAX (ext.rs:609)
     out.sort()
     return out
 

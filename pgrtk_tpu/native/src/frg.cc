@@ -11,6 +11,13 @@
 //
 // Varint encoding mirrors core/bincodec.py (bincode-2 compact ints):
 // one byte < 0xFB inline, 0xFB +u16le, 0xFC +u32le, 0xFD +u64le.
+//
+// Hardening: every read is bounds-checked against the inflated group
+// length (a VALID deflate stream can still carry a malicious bincode
+// payload — huge counts, truncated fragments).  Counts are bounded by
+// remaining bytes before any reserve/loop (each fragment/segment needs
+// >= 1 byte), so crafted input fails with a clean -1/nullptr, never an
+// allocation throw or OOB read across the extern-C boundary.
 #include <cstdint>
 #include <cstring>
 #include <unordered_map>
@@ -25,53 +32,63 @@ constexpr uint64_t FRAG_ALN = 0, FRAG_PREFIX = 1, FRAG_INTERNAL = 2,
                    FRAG_SUFFIX = 3;
 constexpr uint64_t SEG_FULL = 0, SEG_MATCH = 1, SEG_INS = 2;
 
-inline uint64_t read_varint(const uint8_t *p, int64_t &pos) {
+// Bounds-checked varint read.  Requires pos in [0, len) to read the tag
+// byte; the 16 zero guard bytes appended after every inflated group keep
+// the (at most 8-byte) payload memcpy inside owned memory even when the
+// varint is truncated at end-of-buffer — the pos > len check after the
+// advance then rejects it.  Returns false on malformed/truncated input.
+inline bool read_varint_ck(const uint8_t *p, int64_t len, int64_t &pos,
+                           uint64_t &out) {
+  if (pos < 0 || pos >= len) return false;
   uint8_t b = p[pos++];
-  if (b < 0xFB) return b;
-  if (b == 0xFB) {
-    uint16_t v;
-    std::memcpy(&v, p + pos, 2);
-    pos += 2;
-    return v;
+  if (b < 0xFB) {
+    out = b;
+    return true;
   }
-  if (b == 0xFC) {
-    uint32_t v;
-    std::memcpy(&v, p + pos, 4);
-    pos += 4;
-    return v;
-  }
-  uint64_t v;  // 0xFD
-  std::memcpy(&v, p + pos, 8);
-  pos += 8;
-  return v;
+  int w = (b == 0xFB) ? 2 : (b == 0xFC) ? 4 : 8;
+  uint64_t v = 0;
+  std::memcpy(&v, p + pos, (size_t)w);  // guard bytes make this safe
+  pos += w;
+  if (pos > len) return false;
+  out = v;
+  return true;
 }
 
 // advance past one fragment starting at pos; false on malformed input
 inline bool skip_fragment(const uint8_t *p, int64_t len, int64_t &pos) {
-  if (pos >= len) return false;
-  uint64_t tag = read_varint(p, pos);
+  uint64_t tag;
+  if (!read_varint_ck(p, len, pos, tag)) return false;
   if (tag == FRAG_ALN) {
-    (void)read_varint(p, pos);  // base frag id
-    pos += 1;                   // reversed bool
-    (void)read_varint(p, pos);  // length
-    uint64_t n = read_varint(p, pos);
+    uint64_t tmp;
+    if (!read_varint_ck(p, len, pos, tmp)) return false;  // base frag id
+    pos += 1;                                             // reversed bool
+    if (pos > len) return false;
+    if (!read_varint_ck(p, len, pos, tmp)) return false;  // length
+    uint64_t n;
+    if (!read_varint_ck(p, len, pos, n)) return false;
+    // each segment occupies >= 1 byte: bound the count by remaining bytes
+    if (n > (uint64_t)(len - pos)) return false;
     for (uint64_t i = 0; i < n; ++i) {
-      uint64_t st = read_varint(p, pos);
+      uint64_t st;
+      if (!read_varint_ck(p, len, pos, st)) return false;
       if (st == SEG_MATCH) {
-        (void)read_varint(p, pos);
-        (void)read_varint(p, pos);
+        if (!read_varint_ck(p, len, pos, tmp)) return false;
+        if (!read_varint_ck(p, len, pos, tmp)) return false;
       } else if (st == SEG_INS) {
         pos += 1;
+        if (pos > len) return false;
       } else if (st != SEG_FULL) {
         return false;
       }
     }
-    return pos <= len;
+    return true;
   }
   if (tag == FRAG_PREFIX || tag == FRAG_INTERNAL || tag == FRAG_SUFFIX) {
-    uint64_t n = read_varint(p, pos);
+    uint64_t n;
+    if (!read_varint_ck(p, len, pos, n)) return false;
+    if (n > (uint64_t)(len - pos)) return false;  // also blocks pos overflow
     pos += (int64_t)n;
-    return pos <= len;
+    return true;
   }
   return false;
 }
@@ -121,18 +138,22 @@ struct Ctx {
     size_t total = zs.total_out;
     inflateEnd(&zs);
     if (!ok) return nullptr;
-    // 16 zero guard bytes: read_varint can touch up to 8 bytes past its
-    // tag without per-byte bounds checks; the pos<=len checks after the
-    // fact reject malformed fragments, the guard keeps the overread
-    // inside owned memory on truncated/corrupt input
+    // 16 zero guard bytes: read_varint_ck can touch up to 8 bytes past
+    // its tag byte; the guard keeps that overread inside owned memory on
+    // truncated input while the pos>len check rejects it
     g.data.resize(total + 16, 0);
     g.data.resize(total);
     // index fragment offsets (count-prefixed list)
     const uint8_t *p = g.data.data();
     int64_t dlen = (int64_t)g.data.size();
     int64_t pos = 0;
-    uint64_t n = read_varint(p, pos);
-    g.frag_off.reserve(n);
+    uint64_t n;
+    if (!read_varint_ck(p, dlen, pos, n)) return nullptr;
+    // each fragment occupies >= 1 byte: a count beyond the remaining
+    // bytes is crafted input — reject BEFORE reserve (a huge n would
+    // throw std::length_error across the extern-C boundary)
+    if (n > (uint64_t)(dlen - pos)) return nullptr;
+    g.frag_off.reserve((size_t)n);
     for (uint64_t i = 0; i < n; ++i) {
       g.frag_off.push_back(pos);
       if (!skip_fragment(p, dlen, pos)) return nullptr;
@@ -143,6 +164,7 @@ struct Ctx {
 
   // locate fragment fid: group data pointer + tag-byte offset
   bool locate(int64_t fid, const uint8_t *&p, int64_t &pos, int64_t &dlen) {
+    if (fid < 0 || chunk <= 0) return false;
     const Group *g = group(fid / chunk);
     if (g == nullptr) return false;
     int64_t j = fid % chunk;
@@ -172,42 +194,55 @@ int64_t materialize(Ctx &ctx, int64_t fid, uint8_t *out, int64_t cap) {
   const uint8_t *p;
   int64_t pos, dlen;
   if (!ctx.locate(fid, p, pos, dlen)) return -1;
-  uint64_t tag = read_varint(p, pos);
+  uint64_t tag;
+  if (!read_varint_ck(p, dlen, pos, tag)) return -1;
   if (tag != FRAG_ALN) {
-    uint64_t n = read_varint(p, pos);
-    if ((int64_t)n > cap || pos + (int64_t)n > dlen) return -1;
+    uint64_t n;
+    if (!read_varint_ck(p, dlen, pos, n)) return -1;
+    if (n > (uint64_t)cap || n > (uint64_t)(dlen - pos)) return -1;
     std::memcpy(out, p + pos, n);
     return (int64_t)n;
   }
-  uint64_t base_id = read_varint(p, pos);
+  uint64_t base_id;
+  if (!read_varint_ck(p, dlen, pos, base_id)) return -1;
+  if (pos >= dlen) return -1;
   uint8_t reversed = p[pos++];
-  uint64_t length = read_varint(p, pos);
-  if ((int64_t)length > cap) return -1;
+  uint64_t length;
+  if (!read_varint_ck(p, dlen, pos, length)) return -1;
+  if (length > (uint64_t)cap) return -1;
   // base fragment must be Internal; fetch its payload pointer
   const uint8_t *bp;
   int64_t bpos, bdlen;
-  if (!ctx.locate(base_id, bp, bpos, bdlen)) return -1;
-  if (read_varint(bp, bpos) != FRAG_INTERNAL) return -1;
-  uint64_t blen = read_varint(bp, bpos);
+  if (!ctx.locate((int64_t)base_id, bp, bpos, bdlen)) return -1;
+  uint64_t btag;
+  if (!read_varint_ck(bp, bdlen, bpos, btag) || btag != FRAG_INTERNAL)
+    return -1;
+  uint64_t blen;
+  if (!read_varint_ck(bp, bdlen, bpos, blen)) return -1;
+  if (blen > (uint64_t)(bdlen - bpos)) return -1;
   const uint8_t *base = bp + bpos;
-  if (bpos + (int64_t)blen > bdlen) return -1;
 
-  uint64_t n = read_varint(p, pos);
+  uint64_t n;
+  if (!read_varint_ck(p, dlen, pos, n)) return -1;
+  if (n > (uint64_t)(dlen - pos)) return -1;  // each segment >= 1 byte
   int64_t w = 0;
   for (uint64_t i = 0; i < n; ++i) {
-    uint64_t st = read_varint(p, pos);
+    uint64_t st;
+    if (!read_varint_ck(p, dlen, pos, st)) return -1;
     if (st == SEG_FULL) {
       if (w + (int64_t)blen > (int64_t)length) return -1;
       std::memcpy(out + w, base, blen);
       w += (int64_t)blen;
     } else if (st == SEG_MATCH) {
-      uint64_t x1 = read_varint(p, pos), x2 = read_varint(p, pos);
+      uint64_t x1, x2;
+      if (!read_varint_ck(p, dlen, pos, x1)) return -1;
+      if (!read_varint_ck(p, dlen, pos, x2)) return -1;
       if (x2 < x1 || x2 > blen) return -1;
       if (w + (int64_t)(x2 - x1) > (int64_t)length) return -1;
       std::memcpy(out + w, base + x1, x2 - x1);
       w += (int64_t)(x2 - x1);
     } else if (st == SEG_INS) {
-      if (w + 1 > (int64_t)length) return -1;
+      if (w + 1 > (int64_t)length || pos >= dlen) return -1;
       out[w++] = p[pos++];
     } else {
       return -1;
@@ -225,19 +260,26 @@ int64_t materialize(Ctx &ctx, int64_t fid, uint8_t *out, int64_t cap) {
   return w;
 }
 
-// stored (materialized) length of a fragment, from its header alone
+// stored (materialized) length of a fragment, from its header alone.
+// Returns -1 on malformed input (also rejects lengths beyond the i64
+// positive range so callers can treat the result as a byte count).
 int64_t stored_len(Ctx &ctx, int64_t fid, uint64_t &tag_out) {
   const uint8_t *p;
   int64_t pos, dlen;
   if (!ctx.locate(fid, p, pos, dlen)) return -1;
-  uint64_t tag = read_varint(p, pos);
+  uint64_t tag, v;
+  if (!read_varint_ck(p, dlen, pos, tag)) return -1;
   tag_out = tag;
   if (tag == FRAG_ALN) {
-    (void)read_varint(p, pos);
+    if (!read_varint_ck(p, dlen, pos, v)) return -1;
     pos += 1;
-    return (int64_t)read_varint(p, pos);
+    if (pos > dlen) return -1;
+    if (!read_varint_ck(p, dlen, pos, v)) return -1;
+  } else {
+    if (!read_varint_ck(p, dlen, pos, v)) return -1;
   }
-  return (int64_t)read_varint(p, pos);
+  if (v > (uint64_t)INT64_MAX) return -1;
+  return (int64_t)v;
 }
 
 }  // namespace
@@ -254,19 +296,11 @@ int64_t pgr_frg_base_lens(const uint8_t *frg, int64_t frg_len,
                           int64_t *out_lens) {
   Ctx ctx{frg, frg_len, grp_off, grp_size, n_groups, chunk, {}};
   for (int64_t fid = fid_bgn; fid < fid_end; ++fid) {
-    const uint8_t *p;
-    int64_t pos, dlen;
-    if (!ctx.locate(fid, p, pos, dlen)) return -1;
-    uint64_t tag = read_varint(p, pos);
-    if (tag == FRAG_ALN) {
-      (void)read_varint(p, pos);
-      pos += 1;
-      out_lens[fid - fid_bgn] = (int64_t)read_varint(p, pos) - k;
-    } else {
-      uint64_t n = read_varint(p, pos);
-      out_lens[fid - fid_bgn] =
-          (int64_t)n - (tag == FRAG_INTERNAL ? k : 0);
-    }
+    uint64_t tag;
+    int64_t n = stored_len(ctx, fid, tag);
+    if (n < 0) return -1;
+    out_lens[fid - fid_bgn] =
+        n - ((tag == FRAG_ALN || tag == FRAG_INTERNAL) ? k : 0);
   }
   return 0;
 }

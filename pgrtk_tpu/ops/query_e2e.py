@@ -117,9 +117,13 @@ def build_index(
                 reference postings order, for the host parity pipeline
       probe     dict from ops.probe.build_probe_table_aligned (postings
                 rows live at the probe's padded positions; "aligned"
-                marker True) or build_probe_table_dense on bucket
-                overflow ("aligned" False, rows in key-sorted order) —
-                pass probe["aligned"] as query_e2e_step's probe_aligned
+                marker True).  On bucket overflow the aligned build is
+                RETRIED at smaller lambda (32 -> 8 -> 2: more bucket
+                bits splits skew) and raises ValueError if every lambda
+                overflows — there is no dense fallback here (the dense
+                layout has the same 128-slot bucket cap;
+                probe_aligned=False in query_e2e_step exists for
+                externally built dense tables)
       n_targets, n_multi (keys with any per-sid multiplicity > 1),
       n_truncated (keys with keyovf set), max_postings, max_mult
     """
@@ -510,7 +514,7 @@ def query_e2e_step(
     probe_fence,
     p_rows,
     C: int,
-    P: int = 16,
+    P: int,
     M: int = 4,
     k: int = 56,
     r: int = 4,
@@ -563,6 +567,17 @@ def query_e2e_step(
     """
     import jax.numpy as jnp
 
+    # P MUST equal build_index's P (pass idx["P"]): p_rows packs
+    # [meta(P) | bgnori(P) | end(P) | pad] and the row width
+    # 128*ceil(3P/128) is the SAME for P=16 and P=32, so a wrong P
+    # would silently slice bgnori data as meta.  The shape check below
+    # catches gross mismatches; exact equality cannot be derived from
+    # the traced array, hence the caller contract.
+    if 3 * P > p_rows.shape[1]:
+        raise ValueError(
+            f"P={P} inconsistent with p_rows width {p_rows.shape[1]} "
+            f"(need 3*P <= width; pass build_index's idx['P'])"
+        )
     B = seqs_u8.shape[0]
     sk_slots, sk_block2, sk_slots2 = sketch_compact
     xh, xl, yl, valid, ovf = sketch_compact_mode2(

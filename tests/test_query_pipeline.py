@@ -262,3 +262,66 @@ def test_frg_reader_survives_corrupt_input(test_data_dir, tmp_path):
             n_raised += 1
     assert n_ok + n_raised == 20  # every trial ended in python control
     assert n_raised > 0  # the corruptions were real
+
+
+def test_frg_native_crafted_payloads_fail_cleanly():
+    """A VALID deflate stream can still carry a malicious bincode payload
+    (random bit flips fail inflate first and never reach the parser).
+    Huge varint counts must be rejected before any reserve/loop — the
+    unhardened parser died in std::length_error -> std::terminate
+    (ADVICE r4 high).  Each crafted group must return -1, not crash."""
+    import zlib
+
+    import numpy as np
+
+    from pgrtk_tpu.native import api as napi
+
+    if not napi.available():
+        pytest.skip("native library unavailable")
+
+    def varint(v):
+        if v < 0xFB:
+            return bytes([v])
+        if v <= 0xFFFF:
+            return b"\xfb" + v.to_bytes(2, "little")
+        if v <= 0xFFFFFFFF:
+            return b"\xfc" + v.to_bytes(4, "little")
+        return b"\xfd" + v.to_bytes(8, "little")
+
+    huge = 2**63
+    payloads = [
+        # fragment count = 2^63 -> reserve() bomb
+        varint(huge),
+        # count ok, Internal fragment claiming 2^63 payload bytes
+        # (pos += n signed-overflow path)
+        varint(1) + varint(2) + varint(huge),
+        # count ok, ALN fragment with 2^63 segments (unbounded seg loop)
+        varint(1) + varint(0) + varint(0) + b"\x00" + varint(100)
+        + varint(huge),
+        # ALN with plausible seg count but truncated segment stream
+        varint(1) + varint(0) + varint(0) + b"\x00" + varint(100)
+        + varint(3) + varint(1),
+        # truncated varint at end of buffer (0xFD with no payload)
+        varint(2) + varint(2) + varint(4) + b"ACGT" + b"\xfd",
+        # ALN whose base id points past the group's fragments
+        varint(1) + varint(0) + varint(9999) + b"\x00" + varint(4)
+        + varint(1) + varint(0),
+    ]
+    for i, payload in enumerate(payloads):
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        blob = co.compress(payload) + co.flush()
+        frg = np.frombuffer(blob, dtype=np.uint8)
+        grp_off = np.zeros(1, dtype=np.int64)
+        grp_size = np.array([len(blob)], dtype=np.int64)
+        out = np.zeros(4, dtype=np.int64)
+        lib = napi._load()
+        rc = lib.pgr_frg_base_lens(
+            frg, len(frg), grp_off, grp_size, 1, 256, 56, 0, 1, out)
+        if i != 5:  # payload 5's header is well-formed (bad base ID is
+            # only reachable at materialization time)
+            assert rc == -1, f"payload {i} accepted"
+        buf = np.zeros(4096, dtype=np.uint8)
+        got = lib.pgr_frg_sub_bases(
+            frg, len(frg), grp_off, grp_size, 1, 256, 56, 0, 1, buf,
+            len(buf))
+        assert got == -1, f"payload {i} materialized"
