@@ -63,6 +63,12 @@ def _read_header(buf: memoryview) -> Tuple[ShmmrSpec, int, int]:
     w, k, r, min_span, flag = struct.unpack_from("<5I", buf, 3)
     spec = ShmmrSpec(w=w, k=k, r=r, min_span=min_span, sketch=(flag & 1) == 1)
     (nkeys,) = struct.unpack_from("<Q", buf, 23)
+    # every key record needs >= 24 bytes; a crafted count would otherwise
+    # drive a huge allocation in the scan loops (native guard: mdb.cc)
+    if nkeys > max(0, len(buf) - 31) // 24:
+        raise ValueError(
+            f"mdb key count {nkeys} exceeds file size (corrupt header)"
+        )
     return spec, nkeys, 31
 
 

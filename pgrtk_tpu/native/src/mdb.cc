@@ -63,6 +63,13 @@ int pgr_mdb_scan(const char *path, uint32_t *header_out, uint64_t **keys_out,
     }
     memcpy(header_out, base + 3, 5 * sizeof(uint32_t));
     memcpy(&nkeys, base + 23, sizeof(uint64_t));
+    // every key record needs >= 24 bytes: a count beyond that is crafted
+    // input — reject BEFORE the mallocs (2*nkeys*8 would wrap size_t and
+    // under-allocate, turning the loop's writes into a heap overflow)
+    if (nkeys > (size - 31) / 24) {
+      rc = -2;
+      break;
+    }
     keys = static_cast<uint64_t *>(malloc(2 * nkeys * sizeof(uint64_t)));
     starts = static_cast<int64_t *>(malloc(nkeys * sizeof(int64_t)));
     counts = static_cast<int64_t *>(malloc(nkeys * sizeof(int64_t)));
@@ -81,7 +88,9 @@ int pgr_mdb_scan(const char *path, uint32_t *header_out, uint64_t **keys_out,
       memcpy(&k1, base + cursor + 8, 8);
       memcpy(&n, base + cursor + 16, 8);
       cursor += 24;
-      if (cursor + 17 * n > size) {
+      // division form: 17*n on a crafted count wraps uint64 and the
+      // sum check would pass with a bogus small product
+      if (n > (size - cursor) / 17) {
         rc = -2;
         break;
       }
