@@ -368,3 +368,132 @@ def test_server_decomposition_matches_and_svg(tmp_path):
         assert "<svg" in html and html.count("<path") == 6
     finally:
         srv.shutdown()
+
+
+def test_server_concurrent_queries_and_ws(test_data_dir):
+    """The ThreadingHTTPServer shares ONE SeqIndexDB across handler
+    threads — the reference gets isolation from axum + Arc
+    (pgr-web/pgr-server/src/main.rs:60-158).  Fire concurrent
+    /api/post_query_for_json_data requests for DIFFERENT regions plus
+    parallel /ws sessions and assert every response is byte-equal to
+    its single-threaded golden: no interleaved writes, no shared-cache
+    cross-talk (VERDICT r4 item 7)."""
+    import base64
+    import hashlib
+    import http.server
+    import socket
+    import struct
+
+    from pgrtk_tpu.server import main as sm
+    from pgrtk_tpu.server import ws
+    from pgrtk_tpu.server.bundle_processing import SequenceQuerySpec
+
+    d = pgrtk_tpu.SeqIndexDB()
+    d.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    sm.Handler.seq_db = d
+    sm.Handler.rois = {
+        "AMY1A": {"source": "s", "ctg": "c1", "bgn": 1, "end": 2},
+        "AMY2B": {"source": "s", "ctg": "c2", "bgn": 3, "end": 4},
+        "TBC1D3": {"source": "s", "ctg": "c3", "bgn": 5, "end": 6},
+    }
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), sm.Handler)
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    def post_query(spec):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/post_query_for_json_data",
+            data=json.dumps(spec.__dict__).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return urllib.request.urlopen(req, timeout=60).read()
+
+    def ws_roundtrips():
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        key = base64.b64encode(os.urandom(16)).decode()
+        sock.sendall(
+            (
+                "GET /ws HTTP/1.1\r\n"
+                f"Host: 127.0.0.1:{port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        f = sock.makefile("rb")
+        assert b"101" in f.readline()
+        while f.readline().strip():
+            pass
+
+        def send_text(txt):
+            payload = txt.encode()
+            mask = b"\x51\x62\x73\x84"
+            masked = bytes(c ^ mask[i & 3] for i, c in enumerate(payload))
+            sock.sendall(bytes([0x81, 0x80 | len(payload)]) + mask + masked)
+
+        def recv_text():
+            b0, b1 = f.read(2)
+            assert b0 & 0x0F == 1
+            ln = b1 & 0x7F
+            if ln == 126:
+                ln = struct.unpack(">H", f.read(2))[0]
+            return f.read(ln).decode()
+
+        out = []
+        for prefix, expect in (
+            ("AMY", ["AMY1A", "AMY2B"]),
+            ("TBC", ["TBC1D3"]),
+            ("AMY1", ["AMY1A"]),
+        ) * 3:
+            send_text(prefix)
+            out.append((sorted(json.loads(recv_text())), expect))
+        sock.close()
+        return out
+
+    try:
+        specs = []
+        for sid in (0, 7, 33):
+            name, src, _l = d.seq_info[sid]
+            specs.append(SequenceQuerySpec(
+                source=src, ctg=name, bgn=100, end=3000, padding=100,
+                merge_range_tol=1000,
+            ))
+        goldens = [post_query(s) for s in specs]
+        assert len({g[:64] for g in goldens}) == 3  # distinct regions
+
+        results = {}
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = post_query(specs[i % 3])
+            except Exception as e:  # pragma: no cover
+                errors.append((i, repr(e)))
+
+        ws_results = {}
+
+        def ws_worker(i):
+            try:
+                ws_results[i] = ws_roundtrips()
+            except Exception as e:  # pragma: no cover
+                errors.append(("ws", i, repr(e)))
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(12)
+        ] + [
+            threading.Thread(target=ws_worker, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        assert len(results) == 12 and len(ws_results) == 4
+        for i, body in results.items():
+            assert body == goldens[i % 3], f"response {i} diverged"
+        for rts in ws_results.values():
+            for got, expect in rts:
+                assert got == expect
+    finally:
+        srv.shutdown()
