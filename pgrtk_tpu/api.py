@@ -84,6 +84,7 @@ class SeqIndexDB:
     def _invalidate_caches(self):
         self._pb_cache = None
         self._probe_cache = None
+        self._smps_cache = None
 
     def _rebuild_seq_maps_from_seq_db(self):
         self._invalidate_caches()
@@ -446,28 +447,120 @@ class SeqIndexDB:
         mers = sketch_mod.sequence_to_shmmrs(0, seq, self.shmmr_spec, False)
         return query_mod.pair_shmmrs_canonical(mers)
 
+    def get_smps_by_id(self, sid: int):
+        """Shimmer pairs of an INDEXED sequence, reconstructed from the
+        fragment index itself — no sequence fetch, no re-sketch.
+
+        The reference re-scans every sequence for the projection
+        (ext.rs:564-650 fetches + get_smps), paying the sketch twice per
+        decomposition.  But the builder's fragment signatures already
+        store exactly the smps fields: (bgn, end) = (s0.pos()+1,
+        s1.pos()+1) (seq_db.rs:396-397), canonical hash order, and the
+        SAME pair stream (both sides pair consecutive min_span-kept
+        mers).  The single divergence is the hash-tie orientation — the
+        builder keeps 0 on ties (`s0 <= s1`, seq_db.rs:391) while
+        get_smps uses strict `<` (tie -> 1, ext.rs:543-547) — so ties
+        are flipped to 1 here.  Output is bit-identical to
+        get_smps(self.get_seq_by_id(sid)); pinned by
+        tests/test_bundles_and_ec.py."""
+        return self._sid_smps_from_index().get(sid, [])
+
+    def _sid_smps_from_index(self):
+        """dict sid -> [(h0, h1, p0, p1, ori)] in position order, from
+        one pass over the fragment index (cached; invalidated with the
+        other caches on every load/append)."""
+        cache = getattr(self, "_smps_cache", None)
+        if cache is not None:
+            return cache
+        import numpy as np
+
+        per_sid: Dict[int, list] = {sid: [] for sid in self.seq_info}
+        m = self.get_shmmr_map_internal()
+        if m is not None:
+            rows = []
+            for (h0, h1), lst in m.items():
+                for frg_id, s, bgn, end, ori in lst:
+                    rows.append((s, frg_id, h0, h1, bgn, end, ori))
+            rows.sort()
+            for s, _f, h0, h1, bgn, end, ori in rows:
+                per_sid.setdefault(s, []).append(
+                    (h0, h1, bgn, end, 1 if h0 == h1 else ori)
+                )
+        else:
+            db = self.frg_db if self.backend == Backend.FRG else self.agc_db
+            counts = np.asarray(db.index_counts, dtype=np.int64)
+            n = int(counts.sum())
+            h0 = np.repeat(np.asarray(db.index_keys[:, 0]), counts)
+            h1 = np.repeat(np.asarray(db.index_keys[:, 1]), counts)
+            frg = np.empty(n, dtype=np.int64)
+            sidc = np.empty(n, dtype=np.int64)
+            bgn = np.empty(n, dtype=np.uint32)
+            end = np.empty(n, dtype=np.uint32)
+            ori = np.empty(n, dtype=np.uint8)
+            w = 0
+            sigs = db.index_sigs
+            starts = np.asarray(db.index_starts, dtype=np.int64)
+            for i in range(counts.shape[0]):
+                c = int(counts[i])
+                rec = sigs[int(starts[i]): int(starts[i]) + c]
+                frg[w: w + c] = rec["frg_id"]
+                sidc[w: w + c] = rec["seq_id"]
+                bgn[w: w + c] = rec["bgn"]
+                end[w: w + c] = rec["end"]
+                ori[w: w + c] = rec["orientation"]
+                w += c
+            ori = np.where(h0 == h1, np.uint8(1), ori)
+            order = np.lexsort((frg, sidc))
+            sid_sorted = sidc[order]
+            cut = np.flatnonzero(np.diff(sid_sorted)) + 1
+            groups = np.split(order, cut)
+            for g in groups:
+                if len(g) == 0:
+                    continue
+                s = int(sid_sorted[0] if len(cut) == 0 else sidc[g[0]])
+                per_sid[s] = list(
+                    zip(
+                        (int(v) for v in h0[g]),
+                        (int(v) for v in h1[g]),
+                        (int(v) for v in bgn[g]),
+                        (int(v) for v in end[g]),
+                        (int(v) for v in ori[g]),
+                    )
+                )
+        self._smps_cache = per_sid
+        return per_sid
+
     def get_principal_bundles_with_id(
         self, min_count: int, path_len_cutoff: int, keeps=None
     ):
         """Reordered bundles + vertex map (reference: ext.rs:552-650).
         Returns ([(bid, mean_order, [(h0, h1, dir)])], vertex_map)."""
         pb = self.get_principal_bundles(min_count, path_len_cutoff, keeps)
-        seqid_seq_list = [
-            (sid, self.get_seq_by_id(sid)) for sid in sorted(self.seq_info)
+        # one sketch serves both stages: the projection's smps come from
+        # the fragment index (get_smps_by_id) instead of the reference's
+        # fetch + re-sketch of every sequence (ext.rs:564-650)
+        smps_map = self._sid_smps_from_index()
+        seqid_smps = [
+            (sid, smps_map.get(sid, [])) for sid in sorted(self.seq_info)
         ]
         pbid, _sid_smps, vertex_map = self._principal_bundle_projection(
-            pb, seqid_seq_list, return_vertex_map=True
+            pb, None, return_vertex_map=True, seqid_smps=seqid_smps
         )
         return pbid, vertex_map
 
     def _principal_bundle_projection(
-        self, pb, seqid_seq_list, return_vertex_map: bool = False
+        self, pb, seqid_seq_list, return_vertex_map: bool = False,
+        seqid_smps=None,
     ):
-        """(reference: pgr-tk/src/lib.rs:1147-1285)"""
+        """(reference: pgr-tk/src/lib.rs:1147-1285).  Callers projecting
+        the db's OWN sequences pass seqid_smps from the index
+        (get_smps_by_id: shared sketch); external sequences go through
+        seqid_seq_list + get_smps."""
         vertex_map = self._get_vertex_map_from_principal_bundles(pb)
-        seqid_smps = [
-            (sid, self.get_smps(seq)) for sid, seq in seqid_seq_list
-        ]
+        if seqid_smps is None:
+            seqid_smps = [
+                (sid, self.get_smps(seq)) for sid, seq in seqid_seq_list
+            ]
 
         bundle_dirs: Dict[int, List[int]] = {}
         bundle_orders: Dict[int, List[float]] = {}
@@ -514,10 +607,13 @@ class SeqIndexDB:
         self, min_count: int, path_len_cutoff: int, keeps=None
     ):
         pb = self.get_principal_bundles(min_count, path_len_cutoff, keeps)
-        seqid_seq_list = [
-            (sid, self.get_seq_by_id(sid)) for sid in sorted(self.seq_info)
+        smps_map = self._sid_smps_from_index()
+        seqid_smps = [
+            (sid, smps_map.get(sid, [])) for sid in sorted(self.seq_info)
         ]
-        return self._principal_bundle_projection(pb, seqid_seq_list)
+        return self._principal_bundle_projection(
+            pb, None, seqid_smps=seqid_smps
+        )
 
     def get_principal_bundle_projection(
         self, min_count: int, path_len_cutoff: int, sequence, keeps=None
@@ -707,9 +803,15 @@ def get_principal_bundle_decomposition(vertex_to_bundle_id_direction_pos, seq_db
     """Free-function decomposition against a precomputed vertex map
     (reference: ext.rs:976-1015)."""
     out = []
+    # shared sketch: the db's own sequences project from index-derived
+    # smps (get_smps_by_id) — no fetch, no re-sketch; a foreign seq_db
+    # object without that method falls back to the reference's re-scan
+    from_index = getattr(seq_db, "get_smps_by_id", None)
     for sid in sorted(seq_db.seq_info):
-        seq = seq_db.get_seq_by_id(sid)
-        smps = seq_db.get_smps(seq)
+        if from_index is not None:
+            smps = from_index(sid)
+        else:
+            smps = seq_db.get_smps(seq_db.get_seq_by_id(sid))
         out.append(
             (
                 sid,

@@ -281,3 +281,27 @@ def test_consensus_on_reference_corpora(test_data_dir):
     for s, cov in segs:
         assert len(s) == len(cov)
     assert sum(len(s) for s, _ in segs) > len(seqs5[0]) // 2
+
+
+def test_smps_from_index_matches_resketch(test_data_dir, tmp_path):
+    """get_smps_by_id (index-derived, shared sketch) must be
+    bit-identical to the reference's fetch + re-sketch path
+    (ext.rs:533-549 conventions, incl. the tie flip builder-0 ->
+    query-1) on BOTH the dict and the columnar backends."""
+    import os
+
+    import pgrtk_tpu
+
+    fx = pgrtk_tpu.SeqIndexDB()
+    fx.load_from_fastx(os.path.join(test_data_dir, "test_seqs.fa"))
+    frg = pgrtk_tpu.SeqIndexDB()
+    frg.load_from_frg_index(os.path.join(test_data_dir, "test_seqs_frag"))
+    for db in (fx, frg):
+        n_checked = n_pairs = 0
+        for sid in sorted(db.seq_info):
+            expect = db.get_smps(db.get_seq_by_id(sid))
+            got = db.get_smps_by_id(sid)
+            assert got == expect, (db.backend, sid)
+            n_checked += 1
+            n_pairs += len(expect)
+        assert n_checked == 66 and n_pairs > 100
