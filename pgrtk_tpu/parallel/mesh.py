@@ -426,7 +426,11 @@ def sharded_index_v2_step(
         # hash0 >> 24, so the k0_hi (hash0 >> 32) bound b becomes b<<8 —
         # the exact same partition (invalid slots are all-ones and sort
         # past every bound)
-        per = jnp.uint32(((1 << 24) // n_dev) << 8)
+        # masked to u32: at n_dev=1 the bounds array below is EMPTY
+        # (no interior range boundaries), so the wrapped value is
+        # never read — without the mask a 1-device mesh failed to
+        # trace (2^32 out of uint32 range)
+        per = jnp.uint32((((1 << 24) // n_dev) << 8) & 0xFFFFFFFF)
         bounds = (jnp.arange(1, n_dev, dtype=jnp.uint32) * per)
         offs = jnp.searchsorted(local["w0"], bounds).astype(jnp.int32)
         off_full = jnp.concatenate(
@@ -710,7 +714,11 @@ def sharded_query_v2_e2e_step(
         # true multiplicity (run_len * mult, aln.rs:213-228).
         run_len = dup_pair_counts((q_h0, q_l0, q_h1, q_l1), cvalid)
         count_ok = run_len <= min(max_count, max_count_query)
-        per = jnp.uint32(((1 << 24) // n_dev) << 8)
+        # masked to u32: at n_dev=1 the bounds array below is EMPTY
+        # (no interior range boundaries), so the wrapped value is
+        # never read — without the mask a 1-device mesh failed to
+        # trace (2^32 out of uint32 range)
+        per = jnp.uint32((((1 << 24) // n_dev) << 8) & 0xFFFFFFFF)
         bounds = jnp.arange(1, n_dev, dtype=jnp.uint32) * per
         offs = jnp.searchsorted(w0s, bounds).astype(jnp.int32)
         off_full = jnp.concatenate(

@@ -783,3 +783,54 @@ def test_sharded_e2e_query_sixty_four_targets():
             assert dev == host, f"anchor mismatch b={b} sid={c}"
             n_anchors += len(host)
     assert n_anchors > 10 * B  # real cross-target mass at 64 targets
+
+
+def test_v2_build_and_query_on_one_device_mesh():
+    """A DEGENERATE 1-device mesh must trace and run the v2 sharded
+    build + probe query (scripts/tpu_v2_onchip.py drives this shape on
+    the real chip).  Regression: the hash-range partition constant
+    ((2^24/n_dev) << 8) overflowed uint32 at n_dev=1 — the bounds array
+    is empty there, so the wrapped value is never read, but the trace
+    died before reaching that fact."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    B, L = 4, 8192
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+    seqs = np.stack([base.copy() for _ in range(B)])
+    for b in range(B):
+        n = rng.binomial(L, 3e-4)
+        pos = rng.choice(L, size=n, replace=False)
+        seqs[b, pos] = (seqs[b, pos] + rng.integers(1, 4, size=n)) % 4
+    lens = np.full(B, L, dtype=np.int32)
+    rids = np.arange(B, dtype=np.uint32)
+
+    mesh = pmesh.make_mesh(1)
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    sh1 = NamedSharding(mesh, P(axis))
+    seqs_d = jax.device_put(jnp.asarray(seqs), sh)
+    lens_d = jax.device_put(jnp.asarray(lens), sh1)
+    rids_d = jax.device_put(jnp.asarray(rids), sh1)
+
+    cap = 4096
+    v2 = pmesh.sharded_index_v2_step(mesh, cap, chunk=512)(
+        seqs_d, lens_d, rids_d
+    )
+    for flag in ("shard_overflow", "route_overflow", "probe_overflow",
+                 "compact_overflow"):
+        assert not bool(v2[flag]), flag
+    n_pairs = int(v2["n_pairs"])
+    assert n_pairs > 0
+
+    e2e = pmesh.sharded_query_v2_e2e_step(
+        mesh, cap, n_targets=B, slots2=96, M=4, postings_cap=16
+    )(seqs_d, lens_d, rids_d, *v2["probe"]["planes"])
+    for flag in ("compact_overflow", "route_overflow",
+                 "postings_overflow"):
+        assert not bool(e2e[flag]), flag
+    assert int(e2e["n_hits"]) >= n_pairs  # self-query hits every pair
