@@ -99,15 +99,17 @@ def real_postings(targets):
     """Host reference pipeline: the corpus's pair postings in builder
     convention and reference (sid, position) order, plus the lookup dict
     for the host-parity count."""
-    import pgrtk_tpu
+    from pgrtk_tpu.core.seqdb import CompactSeqDB
+    from pgrtk_tpu.core.spec import ShmmrSpec
 
+    # NOT load_from_seq_list: that PyO3 surface pins the reference's
+    # sketch=False/min_span=8 asymmetry; the device pipeline is mode-2
     BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
-    db = pgrtk_tpu.SeqIndexDB()
-    db.load_from_seq_list(
-        [(f"t{i}", BASES[t].tobytes()) for i, t in enumerate(targets)],
-        w=80, k=56, r=4, min_span=64,
+    sdb = CompactSeqDB(ShmmrSpec(w=80, k=56, r=4, min_span=64, sketch=True))
+    sdb.load_seqs(
+        [("m", f"t{i}", BASES[t].tobytes()) for i, t in enumerate(targets)]
     )
-    fm = db.get_shmmr_map()
+    fm = sdb.frag_map
     n = sum(len(v) for v in fm.values())
     cols = {kk: np.empty(n, dtype=np.uint64) for kk in ("k0", "k1")}
     for kk in ("sid", "bgn", "end", "ori", "frg"):
@@ -189,7 +191,8 @@ def build_planes_host(cols, n_decoys, bits, seed=7):
         flat = np.full(nb * PROBE_W, fill, dtype=np.uint32)
         flat[target] = plane[order][border]
         planes.append(flat.reshape(nb, PROBE_W))
-    n_keys = len(np.unique(k0 ^ np.uint64(0x9E3779B97F4A7C15) * k1))
+    sk0, sk1 = k0[order], k1[order]
+    n_keys = 1 + int(((sk0[1:] != sk0[:-1]) | (sk1[1:] != sk1[:-1])).sum())
     return planes, n, n_keys
 
 
@@ -223,7 +226,7 @@ def main():
     nb = planes_np[0].shape[0]
     plane_bytes = sum(p.nbytes for p in planes_np)
     record.update(
-        n_postings=n_total, n_keys_approx=n_keys, probe_bits=bits,
+        n_postings=n_total, n_keys=n_keys, probe_bits=bits,
         plane_bytes=plane_bytes,
         bytes_per_posting=round(plane_bytes / n_total, 1),
         host_build_s=round(time.time() - t0, 1),
@@ -235,7 +238,7 @@ def main():
         f"{record['host_build_s']}s", flush=True,
     )
 
-    run_wd = _watchdog(3000, "finish")
+    run_wd = _watchdog(4800, "finish")
     mesh = pmesh.make_mesh(1)
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis, None))
