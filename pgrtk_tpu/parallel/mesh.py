@@ -873,11 +873,16 @@ def sharded_query_v2_e2e_step(
             hits_sorted = jax.lax.dynamic_update_slice(
                 hits_sorted, new, (starts[d], 0)
             )
-        unsort = jax.lax.sort(
-            (perm,) + tuple(hits_sorted[:, j] for j in range(NB)),
-            num_keys=1,
-        )
-        hits = jnp.stack(unsort[1:], axis=1)  # (n_loc, 3Pp) original order
+        # unsort to original pair order: row i <- hits_sorted[perm^-1(i)].
+        # A 2-operand argsort + ONE (n_loc, 3Pp) row gather — the
+        # previous (1+3Pp)-operand payload sort moved 97 planes through
+        # the sort network and compiled pathologically on the TPU
+        # backend (rows here are 3Pp contiguous u32 = aligned row
+        # gathers, the fast gather shape per the round-4 lesson)
+        inv = jax.lax.sort(
+            (perm, jnp.arange(n_loc, dtype=jnp.int32)), num_keys=1
+        )[1]
+        hits = jnp.take(hits_sorted, inv, axis=0)  # (n_loc, 3Pp)
 
         meta_rows = hits[:, :Pp].reshape(B_loc, Pc, Pp)
         bgnori_rows = hits[:, Pp:2 * Pp].reshape(B_loc, Pc, Pp)
