@@ -349,6 +349,84 @@ def main():
         f"HBM peak {record['hbm_peak_bytes']}", flush=True,
     )
 
+    # ---- production SERVING shape: 64 kb chunk-row queries ------------
+    # (the bench geometry: chunk rows fill the chain's 128-lane axis —
+    # G = 128*8 = 1024 lanes instead of the lane-starved G=64; each
+    # chunk is an independent query on both sides, so host parity is
+    # exact at the same semantics)
+    run_wd2 = _watchdog(2400, "finish the chunked config")
+    QC = 16
+    qch = queries.reshape(B * QC, L // QC)
+    BQ, LQ = qch.shape
+    qch_d = jax.device_put(jnp.asarray(qch), shard)
+    qlens_d = jax.device_put(
+        jnp.asarray(np.full(BQ, LQ, dtype=np.int32)), shard1
+    )
+    qrids_d = jax.device_put(
+        jnp.asarray(np.arange(BQ, dtype=np.uint32)), shard1
+    )
+    e2e_ch = pmesh.sharded_query_v2_e2e_step(
+        mesh, n_postings, n_targets=C, slots2=192, M=3, postings_cap=32
+    )
+
+    @jax.jit
+    def chain_ch(s, ln, rd, p0, p1, p2, p3, p4, p5, p6, n):
+        def body(_, carry):
+            ss, _nh, _fl = carry
+            out = e2e_ch(ss, ln, rd, p0, p1, p2, p3, p4, p5, p6)
+            flags = (
+                out["compact_overflow"].astype(jnp.uint32)
+                + out["route_overflow"].astype(jnp.uint32)
+                + out["postings_overflow"].astype(jnp.uint32)
+                + out["row_ovf"].any().astype(jnp.uint32)
+                + out["mult_ovf"].any().astype(jnp.uint32)
+                + out["lane_ovf"].any().astype(jnp.uint32)
+            )
+            nh = out["n_hits"].astype(jnp.uint32)
+            nxt = jnp.roll(ss, (nh & jnp.uint32(3)).astype(jnp.int32), axis=0)
+            return (nxt, nh, flags)
+
+        z = jnp.uint32(0)
+        return jax.lax.fori_loop(jnp.int32(0), n, body, (s, z, z))[1:]
+
+    t0 = time.time()
+    nh_ch, fl_ch = (
+        int(v)
+        for v in chain_ch(qch_d, qlens_d, qrids_d, *planes_d, jnp.int32(1))
+    )
+    record["chunked_compile_plus_first_run_s"] = round(time.time() - t0, 1)
+    assert fl_ch == 0, "chunked e2e flags dirty"
+    # host parity: each 64 kb chunk is its own query
+    host_ch = 0
+    for b in range(BQ):
+        qbytes = bytes(bytearray(BASES[v] for v in qch[b]))
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []), qbytes, spec
+        )
+        th = query_mod.collect_target_hits(raw)
+        host_ch += sum(len(th.get(c, [])) for c in range(C))
+    assert nh_ch == host_ch, (nh_ch, host_ch)
+    record["chunked_n_hits"] = nh_ch
+    print(f"chunked serving config: n_hits={nh_ch} == host "
+          f"({record['chunked_compile_plus_first_run_s']}s incl. compile)",
+          flush=True)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        int(chain_ch(qch_d, qlens_d, qrids_d, *planes_d,
+                     jnp.int32(n_iters))[0])
+        best = min(best, (time.time() - t0) / n_iters)
+    record.update(
+        chunked_ms_per_step=round(best * 1e3, 2),
+        chunked_mbases_s=round(total_bases / best / 1e6, 1),
+    )
+    run_wd2.clear()
+    print(
+        f"chunked serving: {record['chunked_ms_per_step']} ms/step, "
+        f"{record['chunked_mbases_s']} Mb/s", flush=True,
+    )
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "TPU_HBM_SCALE.json",
