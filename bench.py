@@ -64,6 +64,7 @@ N_INDEX_KEYS = 4_194_304  # >=4M-key probe table for the query stage
 ATTEMPTS = 4
 BACKOFF_S = (15, 45, 90)  # sleep before retry 2, 3, 4
 INIT_WATCHDOG_S = 300     # device must answer within this per attempt
+PING_WATCHDOG_S = 120     # tiny compile+execute+transfer liveness probe
 STAGE_WATCHDOG_S = 1500   # whole worker run bound (compiles can be minutes)
 
 
@@ -111,6 +112,21 @@ def worker(out_path: str):
     jax.devices()  # force backend init under the watchdog
     watchdog.clear()
     _emit(out_path, {"stage": "init", "ok": True})
+    # cheap liveness probe BEFORE the expensive chain: backend init can
+    # succeed while the relay's compile/execute path is dead, and the
+    # first big compile then burns the full stage watchdog (BENCH_r04
+    # attempt 1 lost 25 min this way).  A 1-element jit round-trip
+    # exercises remote compile + execute + device->host transfer in
+    # seconds; if it hangs, fail in PING_WATCHDOG_S and let the
+    # coordinator retry the connection instead
+    ping = _device_watchdog(PING_WATCHDOG_S, what="answer a scalar ping")
+    t_ping = time.time()
+    assert int(jax.jit(lambda x: x + 1)(jnp.int32(41))) == 42
+    ping.clear()
+    _emit(out_path, {
+        "stage": "ping", "ok": True,
+        "s": round(time.time() - t_ping, 2),
+    })
     # whole-run bound: a relay death mid-compile otherwise wedges forever
     run_watchdog = _device_watchdog(STAGE_WATCHDOG_S, what="finish")
 
