@@ -305,3 +305,25 @@ def test_smps_from_index_matches_resketch(test_data_dir, tmp_path):
             n_checked += 1
             n_pairs += len(expect)
         assert n_checked == 66 and n_pairs > 100
+
+
+def test_smps_from_index_flips_hash_ties():
+    """Builder signatures keep orientation 0 on hash ties (s0 <= s1,
+    seq_db.rs:391); get_smps uses strict < (tie -> 1, ext.rs:543-547).
+    Real corpora essentially never produce surviving equal-adjacent
+    hashes (the distinctness rule kills them), so pin the flip on a
+    fabricated index."""
+    import pgrtk_tpu
+
+    db = pgrtk_tpu.SeqIndexDB()
+    db.load_from_seq_list([("s0", b"ACGT" * 100)])
+    h = 0xDEAD_BEEF_CAFE
+    db.seq_db.frag_map = {
+        (h, h): [(0, 0, 10, 20, 0)],          # tie: builder wrote ori 0
+        (h, h + 1): [(1, 0, 20, 30, 1)],      # non-tie: ori preserved
+    }
+    db._smps_cache = None
+    assert db.get_smps_by_id(0) == [
+        (h, h, 10, 20, 1),      # flipped to the query convention
+        (h, h + 1, 20, 30, 1),
+    ]
