@@ -79,12 +79,11 @@ bool read_pod(FILE *f, T &v) {
   return read_exact(f, &v, sizeof(T));
 }
 
-std::string read_str(FILE *f) {
+bool read_str_ck(FILE *f, std::string &out) {
   uint16_t n;
-  if (!read_pod(f, n)) return {};
-  std::string s(n, '\0');
-  read_exact(f, s.data(), n);
-  return s;
+  if (!read_pod(f, n)) return false;
+  out.assign(n, '\0');
+  return read_exact(f, out.data(), n);
 }
 
 }  // namespace
@@ -94,40 +93,60 @@ extern "C" {
 void *pga_open(const char *path) {
   FILE *f = std::fopen(path, "rb");
   if (!f) return nullptr;
+  // Hardening: every index count is bounded by the file size BEFORE any
+  // resize (a crafted count otherwise drives a multi-GB allocation —
+  // bad_alloc across the extern-C boundary — or billions of at-EOF
+  // read iterations), and every read failure aborts the open cleanly.
+  std::fseek(f, 0, SEEK_END);
+  const long fsz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
   char magic[8];
   if (!read_exact(f, magic, 8) || std::memcmp(magic, MAGIC, 8) != 0) {
     std::fclose(f);
     return nullptr;
   }
   uint64_t index_offset;
-  if (!read_pod(f, index_offset)) {
+  if (!read_pod(f, index_offset) || index_offset > (uint64_t)fsz) {
     std::fclose(f);
     return nullptr;
   }
   auto *a = new Archive();
   a->f = f;
   std::fseek(f, (long)index_offset, SEEK_SET);
-  uint32_t n_samples;
-  read_pod(f, n_samples);
-  a->samples.resize(n_samples);
+  const uint64_t idx_bytes = (uint64_t)fsz - index_offset;
+  bool ok = true;
+  uint32_t n_samples = 0;
+  ok = ok && read_pod(f, n_samples);
+  // sample record >= 6 bytes (name_len + n_ctg), contig >= 18, seg = 16
+  ok = ok && (uint64_t)n_samples <= idx_bytes / 6;
+  if (ok) a->samples.resize(n_samples);
   for (auto &s : a->samples) {
-    s.name = read_str(f);
-    uint32_t n_ctg;
-    read_pod(f, n_ctg);
-    s.contigs.resize(n_ctg);
+    if (!ok) break;
+    uint32_t n_ctg = 0;
+    ok = read_str_ck(f, s.name) && read_pod(f, n_ctg)
+         && (uint64_t)n_ctg <= idx_bytes / 18;
+    if (ok) s.contigs.resize(n_ctg);
     for (auto &c : s.contigs) {
-      c.name = read_str(f);
-      read_pod(f, c.seq_len);
-      read_pod(f, c.global_start);
+      if (!ok) break;
+      ok = read_str_ck(f, c.name) && read_pod(f, c.seq_len)
+           && read_pod(f, c.global_start);
     }
   }
-  uint64_t n_segs;
-  read_pod(f, n_segs);
-  a->segs.resize(n_segs);
+  uint64_t n_segs = 0;
+  ok = ok && read_pod(f, n_segs) && n_segs <= idx_bytes / 16;
+  if (ok) a->segs.resize(n_segs);
   for (auto &sg : a->segs) {
-    read_pod(f, sg.offset);
-    read_pod(f, sg.comp_size);
-    read_pod(f, sg.raw_size);
+    if (!ok) break;
+    ok = read_pod(f, sg.offset) && read_pod(f, sg.comp_size)
+         && read_pod(f, sg.raw_size);
+    // a segment's payload must lie inside the data region and its raw
+    // size inside one SEG_RAW window
+    ok = ok && sg.offset + sg.comp_size <= index_offset
+         && sg.raw_size <= SEG_RAW;
+  }
+  if (!ok) {
+    delete a;  // closes f
+    return nullptr;
   }
   for (auto &s : a->samples)
     for (auto &c : s.contigs) a->by_name[{s.name, c.name}] = &c;
@@ -196,6 +215,11 @@ int64_t pga_get_sub_seq(void *h, const char *sample, const char *ctg,
   const uint64_t g_end = c->global_start + (uint64_t)end;
   const uint64_t first_seg = g_bgn / SEG_RAW;
   const uint64_t last_seg = (g_end - 1) / SEG_RAW;
+  // corrupt contig metadata can point past the segment table
+  if (last_seg >= a->segs.size()) {
+    std::free(buf);
+    return -1;
+  }
   std::vector<uint8_t> comp, raw;
   int64_t written = 0;
   for (uint64_t sj = first_seg; sj <= last_seg; ++sj) {
@@ -221,6 +245,12 @@ int64_t pga_get_sub_seq(void *h, const char *sample, const char *ctg,
     uint64_t e = g_end - seg_base < (uint64_t)sg.raw_size
                      ? g_end - seg_base
                      : (uint64_t)sg.raw_size;
+    // corrupt lengths can place the window outside the segment or
+    // overflow the output buffer
+    if (s > e || written + (int64_t)(e - s) > n) {
+      std::free(buf);
+      return -1;
+    }
     std::memcpy(buf + written, raw.data() + s, (size_t)(e - s));
     written += (int64_t)(e - s);
   }

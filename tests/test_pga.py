@@ -109,3 +109,44 @@ def test_fetch_seqs_cli(archive, tmp_path):
     assert r.returncode == 0, r.stderr.decode()
     out = r.stdout.decode().splitlines()
     assert out[0] == ">lbl" and len(out[1]) == 40
+
+
+def test_pga_reader_survives_corrupt_input(tmp_path):
+    """Bit-flipped / truncated .pga archives must raise clean Python
+    exceptions (or read unaffected content), never crash — the same
+    discipline as the .agc/.frg/.mdb corruption suites."""
+    import numpy as np
+
+    from pgrtk_tpu.core import pga as pga_mod
+
+    src = tmp_path / "base.fa"
+    rng = np.random.default_rng(3)
+    with open(src, "w") as f:
+        for i in range(4):
+            seq = "".join("ACGT"[v] for v in rng.integers(0, 4, 5000))
+            f.write(f">ctg{i}\n{seq}\n")
+    arc = tmp_path / "base.pga"
+    pga_mod.create_pga(str(arc), [str(src)])
+    blob = arc.read_bytes()
+
+    n_ok = n_raised = 0
+    for trial in range(16):
+        buf = bytearray(blob)
+        if trial % 4 == 0:
+            buf = buf[: 8 + (trial * 211) % max(1, len(buf) - 8)]
+        else:
+            for p in rng.integers(8, len(buf), size=6):
+                buf[p] ^= 0xFF
+        bad = tmp_path / f"c{trial}.pga"
+        bad.write_bytes(bytes(buf))
+        try:
+            f = pga_mod.PgaFile(str(bad))
+            for s in f.list_samples():
+                for ctg, ln in f.list_ctgs(s):
+                    f.get_sub_seq(s, ctg, 0, min(ln, 1000))
+            f.close()
+            n_ok += 1
+        except Exception:
+            n_raised += 1
+    assert n_ok + n_raised == 16  # every trial ended in python control
+    assert n_raised > 0
