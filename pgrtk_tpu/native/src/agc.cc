@@ -119,6 +119,7 @@ struct AgcSample {
 
 struct AgcArchive {
   FILE *f = nullptr;
+  uint64_t file_size = 0;  // bounds every part read (corrupt-input guard)
   std::mutex io_mu;
   uint32_t kmer_len = 0, min_match = 0, pack_card = 0, seg_size = 0;
   std::map<std::string, std::vector<Part>> streams;
@@ -188,6 +189,11 @@ std::string read_cstring(const uint8_t *buf, size_t len, size_t &p, bool &ok) {
 // Reads one part: metadata varint + payload.
 bool read_part(AgcArchive *a, const Part &part, uint64_t &meta,
                std::vector<uint8_t> &payload) {
+  // crafted footers can claim multi-GB parts: bound by the file size
+  // BEFORE the resize (a huge resize throws across the extern-C edge)
+  if (part.offset > a->file_size ||
+      part.size > a->file_size - part.offset)
+    return false;
   std::lock_guard<std::mutex> lk(a->io_mu);
   if (std::fseek(a->f, (long)part.offset, SEEK_SET) != 0) return false;
   uint8_t nb;
@@ -205,6 +211,10 @@ bool read_part(AgcArchive *a, const Part &part, uint64_t &meta,
 // (0x01 observed = "zstd-compressed"), so decompress exactly the frame.
 bool zstd_decode(const std::vector<uint8_t> &in, size_t out_cap,
                  std::vector<uint8_t> &out) {
+  // out_cap comes from file metadata; a crafted value drives a huge
+  // allocation.  No legitimate AGC stream (collection blob or packed
+  // segment) approaches 2 GB decompressed.
+  if (out_cap > (size_t{1} << 31)) return false;
   size_t fs = ZSTD_findFrameCompressedSize(in.data(), in.size());
   if (ZSTD_isError(fs)) return false;
   out.resize(out_cap);
@@ -401,22 +411,26 @@ bool load_collection(AgcArchive *a) {
   size_t ml = main_buf.size();
   read_pvarint(mb, ml, p, ok);  // header value; not needed for reading
   uint64_t n_samples = read_pvarint(mb, ml, p, ok);
-  if (!ok) return false;
+  // count bounds: each sample/contig consumes >= 2 main-buffer bytes,
+  // each segment >= 1 details byte per column — crafted counts must
+  // fail BEFORE the resizes (zstd-valid payloads reach this parser)
+  if (!ok || n_samples > ml / 2) return false;
   a->samples.resize(n_samples);
   size_t total_segs = 0;
   for (auto &s : a->samples) {
     s.name = read_cstring(mb, ml, p, ok);
     uint64_t nc = read_pvarint(mb, ml, p, ok);
-    if (!ok) return false;
+    if (!ok || nc > ml / 2) return false;
     s.contigs.resize(nc);
     for (auto &c : s.contigs) {
       c.name = read_cstring(mb, ml, p, ok);
       uint64_t ns = read_pvarint(mb, ml, p, ok);
-      if (!ok) return false;
+      if (!ok || ns > det_buf.size()) return false;
       c.segs.resize(ns);
       total_segs += ns;
     }
   }
+  if (total_segs > det_buf.size()) return false;
 
   // details: four columns over all segments in collection order
   const uint8_t *db = det_buf.data();
@@ -503,6 +517,7 @@ void *agc_open(const char *path) {
   }
   auto a = std::make_unique<AgcArchive>();
   a->f = f;
+  a->file_size = (uint64_t)fsize;
   bool ok = true;
   size_t p = 0;
   uint64_t n_streams = read_varint(foot.data(), foot.size(), p, ok);
@@ -510,6 +525,9 @@ void *agc_open(const char *path) {
     std::string name = read_cstring(foot.data(), foot.size(), p, ok);
     uint64_t n_parts = read_varint(foot.data(), foot.size(), p, ok);
     read_varint(foot.data(), foot.size(), p, ok);  // raw_size (unused)
+    // each part record needs >= 2 footer bytes: reject crafted counts
+    // before the resize
+    if (!ok || n_parts > footer_size / 2) return nullptr;
     auto &parts = a->streams[name];
     parts.resize(n_parts);
     for (auto &pt : parts) {

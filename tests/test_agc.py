@@ -179,3 +179,37 @@ def test_agc_reader_survives_corrupt_input(tmp_path):
             n_raised += 1
     assert n_ok + n_raised == 15
     assert n_raised > 0
+
+
+def test_agc_crafted_footer_counts_fail_cleanly(tmp_path):
+    """Zstd-valid or footer-level crafted counts must be rejected before
+    any allocation (the bit-flip test mostly dies in decompression and
+    never reaches the parsers — the r4 frg lesson).  Huge n_parts and
+    part sizes in a crafted footer must fail agc_open cleanly."""
+
+    def varint(v):
+        b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+        return bytes([len(b)]) + b
+
+    def cstr(s):
+        return s.encode() + b"\x00"
+
+    # footer claiming 2^60 parts for one stream
+    foot = varint(1) + cstr("collection-main") + varint(1 << 60) + varint(0)
+    p = tmp_path / "huge_parts.agc"
+    p.write_bytes(b"\x00" * 64 + foot + len(foot).to_bytes(8, "little"))
+    with pytest.raises(Exception):
+        AgcFile(str(p))
+
+    # plausible footer whose single part claims a 2^60-byte payload
+    foot = (
+        varint(2)
+        + cstr("params") + varint(1) + varint(0)
+        + varint(0) + varint(1 << 60)
+        + cstr("collection-main") + varint(1) + varint(0)
+        + varint(0) + varint(16)
+    )
+    p = tmp_path / "huge_part_size.agc"
+    p.write_bytes(b"\x00" * 64 + foot + len(foot).to_bytes(8, "little"))
+    with pytest.raises(Exception):
+        AgcFile(str(p))
