@@ -378,6 +378,7 @@ def sharded_index_v2_step(
     chunk: int = 512,
     route_capacity: Optional[int] = None,
     compact_kw: Optional[dict] = None,
+    avg_per_bucket: int = 64,
 ):
     """Memory-scalable index build (sharding v2, docs/ROADMAP.md):
     each device keeps only ITS hash range of the global pair table, and
@@ -401,7 +402,14 @@ def sharded_index_v2_step(
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    bits = probe_bits_for(shard_capacity)
+    # avg_per_bucket sizes the per-shard probe buckets.  64 halves the
+    # plane memory vs 32 but overflows when per-key multiplicity is
+    # high (all postings of a key share ONE 128-slot bucket row: 16
+    # near-identical haplotypes put 16-entry runs in each key's bucket
+    # — observed overflowing 12/128 buckets at a 16-device dryrun).
+    # probe_overflow reports it; callers retry with 32/16 (query steps
+    # must be built with the SAME value).
+    bits = probe_bits_for(shard_capacity, avg_per_bucket)
 
     def local_step(seqs_u8, lengths, rids):
         xh, xl, yl, valid, c_ovf = _sketch_compact(
@@ -530,6 +538,7 @@ def sharded_query_v2_step(
     min_span: int = 64,
     chunk: int = 512,
     compact_kw: Optional[dict] = None,
+    avg_per_bucket: int = 64,
 ):
     """Query fan-out against the hash-range-sharded v2 index: queries
     are sketched where they live, query KEYS are all_gathered (keys are
@@ -547,7 +556,7 @@ def sharded_query_v2_step(
     from jax import shard_map
 
     axis = mesh.axis_names[0]
-    bits = probe_bits_for(shard_capacity)
+    bits = probe_bits_for(shard_capacity, avg_per_bucket)
 
     def local_step(seqs_u8, lengths, rids, p0, p1, p2, p3):
         xh, xl, yl, valid, _ovf = _sketch_compact(
@@ -611,6 +620,7 @@ def sharded_query_v2_e2e_step(
     route_capacity: Optional[int] = None,
     compact_kw: Optional[dict] = None,
     slots3: Optional[int] = None,
+    avg_per_bucket: int = 64,
 ):
     """END-TO-END query against the hash-range-sharded v2 index: the
     full reference query path (seq_db.rs:1198-1257 + aln.rs:147-242)
@@ -661,7 +671,7 @@ def sharded_query_v2_e2e_step(
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    bits = probe_bits_for(shard_capacity)
+    bits = probe_bits_for(shard_capacity, avg_per_bucket)
     C = n_targets
     Pp = postings_cap
     assert Pp <= 127, "postings_cap > 127 overflows the 7-bit mult field"

@@ -834,3 +834,33 @@ def test_v2_build_and_query_on_one_device_mesh():
                  "postings_overflow"):
         assert not bool(e2e[flag]), flag
     assert int(e2e["n_hits"]) >= n_pairs  # self-query hits every pair
+
+
+def test_shard_probe_planes_flags_bucket_overflow():
+    """All postings of one key land in ONE 128-slot bucket row; a key
+    with > 128 postings (or bucket-sharing keys summing past 128) must
+    raise probe_overflow, never drop silently (the 16-device dryrun
+    found 12 full buckets with the flag unchecked)."""
+    import jax.numpy as jnp
+
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    n = 256
+    shard = {
+        "k0_hi": jnp.full((n,), jnp.uint32(7)),
+        "k0_lo": jnp.full((n,), jnp.uint32(9)),
+        "k1_hi": jnp.full((n,), jnp.uint32(11)),
+        "k1_lo": jnp.full((n,), jnp.uint32(13)),
+        "sid": jnp.zeros((n,), jnp.uint32),
+        "bgn": jnp.arange(n, dtype=jnp.uint32),
+        "end": jnp.arange(n, dtype=jnp.uint32) + 1,
+        "orientation": jnp.zeros((n,), jnp.uint32),
+        "valid": jnp.ones((n,), bool),
+    }
+    _planes, _row, ovf = pmesh._shard_probe_planes(shard, bits=4)
+    assert bool(ovf)  # 256 postings of one key > 128-slot bucket row
+
+    # 100 postings fit
+    shard2 = {kk: v[:100] for kk, v in shard.items()}
+    _planes, _row, ovf2 = pmesh._shard_probe_planes(shard2, bits=4)
+    assert not bool(ovf2)
