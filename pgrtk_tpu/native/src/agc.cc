@@ -425,12 +425,17 @@ bool load_collection(AgcArchive *a) {
     for (auto &c : s.contigs) {
       c.name = read_cstring(mb, ml, p, ok);
       uint64_t ns = read_pvarint(mb, ml, p, ok);
-      if (!ok || ns > det_buf.size()) return false;
-      c.segs.resize(ns);
+      // each segment consumes >= 4 details bytes (1 per column), and
+      // the RUNNING total must hold before every resize — allocations
+      // otherwise accumulate across contigs (AgcSegment is 16 bytes:
+      // a zstd-bomb details blob could request terabytes mid-loop)
       total_segs += ns;
+      if (!ok || total_segs > det_buf.size() / 4 ||
+          total_segs > (size_t{1} << 26))
+        return false;
+      c.segs.resize(ns);
     }
   }
-  if (total_segs > det_buf.size()) return false;
 
   // details: four columns over all segments in collection order
   const uint8_t *db = det_buf.data();
@@ -505,7 +510,7 @@ void *agc_open(const char *path) {
   long fsize = std::ftell(f) + 8;
   uint64_t footer_size = 0;
   if (std::fread(&footer_size, 8, 1, f) != 1 ||
-      footer_size + 8 > (uint64_t)fsize) {
+      footer_size > (uint64_t)fsize - 8) {  // subtraction form: +8 wraps
     std::fclose(f);
     return nullptr;
   }

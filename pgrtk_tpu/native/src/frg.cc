@@ -112,7 +112,12 @@ struct Ctx {
     if (it != cache.end()) return &it->second;
     if (gid < 0 || gid >= n_groups) return nullptr;
     int64_t off = grp_off[gid], sz = grp_size[gid];
-    if (off < 0 || off + sz > frg_len) return nullptr;
+    // subtraction form: off+sz wraps int64 on crafted .sdx entries
+    // (offset=1, size=2^63-1 passed the old sum check and let inflate
+    // read past the frg buffer); also bound the uInt avail_in cast
+    if (off < 0 || sz < 0 || off > frg_len || sz > frg_len - off ||
+        sz > 0x7FFFFFFF)
+      return nullptr;
     Group g;
     // raw deflate (zlib.decompress(raw, -15) on the Python side)
     z_stream zs;

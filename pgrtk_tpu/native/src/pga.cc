@@ -140,8 +140,10 @@ void *pga_open(const char *path) {
     ok = read_pod(f, sg.offset) && read_pod(f, sg.comp_size)
          && read_pod(f, sg.raw_size);
     // a segment's payload must lie inside the data region and its raw
-    // size inside one SEG_RAW window
-    ok = ok && sg.offset + sg.comp_size <= index_offset
+    // size inside one SEG_RAW window (subtraction form: the sum wraps
+    // uint64 on crafted offsets)
+    ok = ok && sg.offset <= index_offset
+         && sg.comp_size <= index_offset - sg.offset
          && sg.raw_size <= SEG_RAW;
   }
   if (!ok) {

@@ -187,3 +187,55 @@ def test_pdb_crafted_huge_counts(tmp_path):
         p.write_bytes(head + tail)
         with pytest.raises(Exception):
             pdb_io.read_pdb(str(p))
+
+
+def test_frg_native_group_offset_size_overflow():
+    """Crafted .sdx group entries (offset=1, size=2^63-1) wrapped the
+    old `off + sz > len` sum check and let inflate read past the frg
+    buffer (round-5 review finding) — must fail cleanly."""
+    from pgrtk_tpu.native import api as napi
+
+    if not napi.available():
+        pytest.skip("native library unavailable")
+    lib = napi._load()
+    frg = np.zeros(64, dtype=np.uint8)
+    out = np.zeros(4, dtype=np.int64)
+    for off, size in ((1, (1 << 63) - 1), (-5, 10), (60, 1 << 40)):
+        grp_off = np.array([off], dtype=np.int64)
+        grp_size = np.array([size], dtype=np.int64)
+        rc = lib.pgr_frg_base_lens(
+            frg, len(frg), grp_off, grp_size, 1, 256, 56, 0, 1, out)
+        assert rc == -1, (off, size)
+
+
+def test_agc_trailer_size_overflow(tmp_path):
+    """footer_size = 2^64-1 wrapped `footer_size + 8 > fsize` and drove
+    std::vector(footer_size) to terminate the process (reproduced in
+    the round-5 review) — must raise cleanly now."""
+    from pgrtk_tpu.core.agc import AgcFile
+
+    p = tmp_path / "wrap.agc"
+    p.write_bytes(b"\x00" * 72 + b"\xff" * 8)
+    with pytest.raises(Exception):
+        AgcFile(str(p))
+
+
+def test_pga_segment_offset_overflow(tmp_path):
+    """sg.offset near 2^64 wrapped the segment-bound sum check — the
+    open must reject the index."""
+    import struct
+
+    from pgrtk_tpu.core import pga as pga_mod
+
+    idx = struct.pack("<I", 1)                      # 1 sample
+    idx += struct.pack("<H", 1) + b"s"              # name "s"
+    idx += struct.pack("<I", 1)                     # 1 contig
+    idx += struct.pack("<H", 1) + b"c"              # name "c"
+    idx += struct.pack("<QQ", 100, 0)               # len, global_start
+    idx += struct.pack("<Q", 1)                     # 1 segment
+    idx += struct.pack("<QII", (1 << 64) - 8, 64, 100)  # crafted offset
+    blob = b"PGA:0.1\x00" + struct.pack("<Q", 16 + 64) + b"\x00" * 64 + idx
+    p = tmp_path / "wrap.pga"
+    p.write_bytes(blob)
+    with pytest.raises(Exception):
+        pga_mod.PgaFile(str(p))
