@@ -33,28 +33,9 @@ os.environ.setdefault(
 
 import numpy as np
 
+from scripts._tpu_common import init_device, watchdog
+
 PROBE_W = 128
-
-
-def _watchdog(seconds: int, what: str):
-    import threading
-
-    armed = threading.Event()
-    armed.set()
-
-    def boom():
-        if armed.is_set():
-            sys.stderr.write(
-                f"tpu_hbm_scale: device did not {what} within {seconds}s; "
-                f"aborting\n"
-            )
-            sys.stderr.flush()
-            os._exit(3)
-
-    t = threading.Timer(seconds, boom)
-    t.daemon = True
-    t.start()
-    return armed
 
 
 def build_corpus():
@@ -201,20 +182,13 @@ def main():
     n_iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     record = {"n_postings_target": n_postings}
 
-    wd = _watchdog(300, "initialize")
-    import jax
+    jax, dev = init_device("tpu_hbm_scale")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pgrtk_tpu.parallel import mesh as pmesh
 
-    dev = jax.devices()[0]
-    wd.clear()
     record["device"] = f"{dev.platform}:{dev.device_kind}"
-    wd = _watchdog(120, "answer a scalar ping")
-    assert int(jax.jit(lambda x: x + 1)(jnp.int32(41))) == 42
-    wd.clear()
-    print(f"device: {record['device']}", flush=True)
 
     t0 = time.time()
     targets, queries = build_corpus()
@@ -238,7 +212,7 @@ def main():
         f"{record['host_build_s']}s", flush=True,
     )
 
-    run_wd = _watchdog(4800, "finish")
+    run_wd = watchdog(4800, "finish", "tpu_hbm_scale")
     mesh = pmesh.make_mesh(1)
     axis = mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis, None))
@@ -354,7 +328,7 @@ def main():
     # G = 128*8 = 1024 lanes instead of the lane-starved G=64; each
     # chunk is an independent query on both sides, so host parity is
     # exact at the same semantics)
-    run_wd2 = _watchdog(2400, "finish the chunked config")
+    run_wd2 = watchdog(2400, "finish the chunked config", "tpu_hbm_scale")
     QC = 16
     qch = queries.reshape(B * QC, L // QC)
     BQ, LQ = qch.shape

@@ -27,48 +27,22 @@ os.environ.setdefault(
 
 import numpy as np
 
-
-def _watchdog(seconds: int, what: str):
-    import threading
-
-    armed = threading.Event()
-    armed.set()
-
-    def boom():
-        if armed.is_set():
-            sys.stderr.write(
-                f"tpu_v1_onchip: device did not {what} within {seconds}s; "
-                f"aborting\n"
-            )
-            sys.stderr.flush()
-            os._exit(3)
-
-    t = threading.Timer(seconds, boom)
-    t.daemon = True
-    t.start()
-    return armed
+from scripts._tpu_common import init_device, time_best_of, watchdog
 
 
 def main():
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     record = {"n_devices_mesh": 1}
 
-    wd = _watchdog(300, "initialize")
-    import jax
+    jax, dev = init_device("tpu_v1_onchip")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pgrtk_tpu.ops import probe as probe_ops
     from pgrtk_tpu.parallel import mesh as pmesh
 
-    dev = jax.devices()[0]
-    wd.clear()
     record["device"] = f"{dev.platform}:{dev.device_kind}"
-    wd = _watchdog(120, "answer a scalar ping")
-    assert int(jax.jit(lambda x: x + 1)(jnp.int32(41))) == 42
-    wd.clear()
-    print(f"device: {record['device']}", flush=True)
-    run_wd = _watchdog(3600, "finish")
+    run_wd = watchdog(3600, "finish", "tpu_v1_onchip")
 
     from scripts.tpu_v2_onchip import build_corpus
 
@@ -115,11 +89,29 @@ def main():
           f"({record['index_compile_plus_first_run_s']}s incl. compile)",
           flush=True)
 
-    t0 = time.time()
-    int(build_chain(seqs_d, lens_d, rids_d, jnp.int32(n_iters))[0])
-    record["index_ms_per_step"] = round(
-        (time.time() - t0) / n_iters * 1e3, 2
+    # scalar-only timing chain (the table-returning chain above copies
+    # five key planes through its carry every iteration)
+    @jax.jit
+    def index_timed(s, ln, rd, n):
+        def body(_, carry):
+            ss, acc = carry
+            out = index_step(ss, ln, rd)
+            npair = out["n_pairs"].astype(jnp.uint32)
+            nxt = jnp.roll(
+                ss, (npair & jnp.uint32(3)).astype(jnp.int32), axis=0
+            )
+            return (nxt, acc + npair)
+
+        return jax.lax.fori_loop(
+            jnp.int32(0), n, body, (s, jnp.uint32(0))
+        )[1]
+
+    int(index_timed(seqs_d, lens_d, rids_d, jnp.int32(1)))  # warm
+    best = time_best_of(
+        lambda: int(index_timed(seqs_d, lens_d, rids_d, jnp.int32(n_iters))),
+        n_iters,
     )
+    record["index_ms_per_step"] = round(best * 1e3, 2)
     total_bases = int(lens.sum())
     record["index_mbases_s"] = round(
         total_bases / (record["index_ms_per_step"] / 1e3) / 1e6, 1

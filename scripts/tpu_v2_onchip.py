@@ -44,26 +44,7 @@ os.environ.setdefault(
 
 import numpy as np
 
-
-def _watchdog(seconds: int, what: str):
-    import threading
-
-    armed = threading.Event()
-    armed.set()
-
-    def boom():
-        if armed.is_set():
-            sys.stderr.write(
-                f"tpu_v2_onchip: device did not {what} within {seconds}s "
-                f"(dead tunnel?); aborting\n"
-            )
-            sys.stderr.flush()
-            os._exit(3)
-
-    t = threading.Timer(seconds, boom)
-    t.daemon = True
-    t.start()
-    return armed
+from scripts._tpu_common import init_device, time_best_of, watchdog
 
 
 def build_corpus(n_devices: int = 1):
@@ -97,26 +78,16 @@ def main():
     n_iters = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     record = {"device": None, "n_devices_mesh": 1}
 
-    wd = _watchdog(300, "initialize")
-    import jax
+    jax, dev = init_device("tpu_v2_onchip")
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pgrtk_tpu.parallel import mesh as pmesh
 
-    dev = jax.devices()[0]
-    wd.clear()
     record["device"] = str(dev.platform) + ":" + str(dev.device_kind)
-    # liveness ping before any big compile (bench.py discipline)
-    wd = _watchdog(120, "answer a scalar ping")
-    assert int(jax.jit(lambda x: x + 1)(jnp.int32(41))) == 42
-    wd.clear()
-    print(f"device: {record['device']}", flush=True)
-
-    # generous: two big uncached remote compiles (build ~2 min, e2e
-    # potentially tens of minutes — the relay compiles every session
-    # from scratch)
-    run_wd = _watchdog(5400, "finish")
+    # generous: several big uncached remote compiles (the relay
+    # compiles every session from scratch)
+    run_wd = watchdog(5400, "finish", "tpu_v2_onchip")
 
     seqs, lens, rids = build_corpus(1)
     B = seqs.shape[0]
@@ -170,12 +141,29 @@ def main():
           f"({record['build_compile_plus_first_run_s']}s incl. compile)",
           flush=True)
 
-    t0 = time.time()
-    int(build_chain(seqs_d, lens_d, rids_d, jnp.int32(n_iters))[0])
-    int(build_chain(seqs_d, lens_d, rids_d, jnp.int32(n_iters))[0])
-    record["build_ms_per_step"] = round(
-        (time.time() - t0) / (2 * n_iters) * 1e3, 2
+    # scalar-only timing chain (the plane-returning chain above copies
+    # its carry every iteration — the round-5 timing-artifact lesson)
+    @jax.jit
+    def build_timed(s, ln, rd, n):
+        def body(_, carry):
+            ss, acc = carry
+            out = v2_step(ss, ln, rd)
+            npair = out["n_pairs"].astype(jnp.uint32)
+            nxt = jnp.roll(
+                ss, (npair & jnp.uint32(3)).astype(jnp.int32), axis=0
+            )
+            return (nxt, acc + npair)
+
+        return jax.lax.fori_loop(
+            jnp.int32(0), n, body, (s, jnp.uint32(0))
+        )[1]
+
+    int(build_timed(seqs_d, lens_d, rids_d, jnp.int32(1)))  # warm
+    best = time_best_of(
+        lambda: int(build_timed(seqs_d, lens_d, rids_d, jnp.int32(n_iters))),
+        n_iters,
     )
+    record["build_ms_per_step"] = round(best * 1e3, 2)
     print(f"v2 build: {record['build_ms_per_step']} ms/step", flush=True)
 
     # ---- v2 end-to-end query: ONE compiled chain program --------------
@@ -254,11 +242,13 @@ def main():
         )[1]
 
     int(e2e_timed(seqs_d, lens_d, rids_d, *planes_d, jnp.int32(1)))  # warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        int(e2e_timed(seqs_d, lens_d, rids_d, *planes_d, jnp.int32(n_iters)))
-        best = min(best, (time.time() - t0) / n_iters)
+    best = time_best_of(
+        lambda: int(
+            e2e_timed(seqs_d, lens_d, rids_d, *planes_d, jnp.int32(n_iters))
+        ),
+        n_iters,
+        windows=3,
+    )
     record["e2e_ms_per_step"] = round(best * 1e3, 2)
     total_bases = int(lens.sum())
     record["bases_per_step"] = total_bases
