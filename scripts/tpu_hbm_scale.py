@@ -401,9 +401,10 @@ def main():
         f"{record['chunked_mbases_s']} Mb/s", flush=True,
     )
 
+    suffix = f"_{sys.argv[3]}" if len(sys.argv) > 3 else ""
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "TPU_HBM_SCALE.json",
+        "docs", f"TPU_HBM_SCALE{suffix}.json",
     )
     with open(out_path, "w") as f:
         json.dump(record, f, indent=1)
