@@ -800,7 +800,12 @@ def sharded_query_v2_e2e_step(
         sh_sid = jnp.where(hit, rsid, U32(0))
         sh_bgn = jnp.where(hit, rbgn, U32(0))
         sh_end = jnp.where(hit, rend, U32(0))
-        for b in (64, 32, 16, 8, 4, 2, 1):
+        b = W >> 1  # ladder derived from the row width (first < W)
+        shifts = []
+        while b:
+            shifts.append(b)
+            b >>= 1
+        for b in shifts:
             take = (first & b) != 0
             sh_sid = jnp.where(
                 take[:, None], jnp.roll(sh_sid, -b, axis=1), sh_sid

@@ -57,3 +57,31 @@ def time_best_of(fn, n_iters: int, windows: int = 2):
         fn()
         best = min(best, (time.time() - t0) / n_iters)
     return best
+
+
+def make_scalar_timed_chain(jax, jnp, step_fn, n_extra_args: int):
+    """One jitted fori_loop chain timing `step_fn(seqs, lens, rids,
+    *extra)` with a SCALAR-ONLY carry (round-5 lesson: carrying output
+    planes copies them every iteration and inflates the measurement).
+    The content perturbation rolls the sequence rows by a
+    data-dependent amount so iterations chain."""
+
+    @jax.jit
+    def timed(s, ln, rd, *rest):
+        extra, n = rest[:n_extra_args], rest[n_extra_args]
+
+        def body(_, carry):
+            ss, acc = carry
+            out = step_fn(ss, ln, rd, *extra)
+            v = (out["n_pairs"] if "n_pairs" in out else
+                 out["n_hits"]).astype(jnp.uint32)
+            nxt = jnp.roll(
+                ss, (v & jnp.uint32(3)).astype(jnp.int32), axis=0
+            )
+            return (nxt, acc + v)
+
+        return jax.lax.fori_loop(
+            jnp.int32(0), n, body, (s, jnp.uint32(0))
+        )[1]
+
+    return timed

@@ -27,7 +27,9 @@ os.environ.setdefault(
 
 import numpy as np
 
-from scripts._tpu_common import init_device, time_best_of, watchdog
+from scripts._tpu_common import (
+    init_device, make_scalar_timed_chain, time_best_of, watchdog,
+)
 
 
 def main():
@@ -91,20 +93,7 @@ def main():
 
     # scalar-only timing chain (the table-returning chain above copies
     # five key planes through its carry every iteration)
-    @jax.jit
-    def index_timed(s, ln, rd, n):
-        def body(_, carry):
-            ss, acc = carry
-            out = index_step(ss, ln, rd)
-            npair = out["n_pairs"].astype(jnp.uint32)
-            nxt = jnp.roll(
-                ss, (npair & jnp.uint32(3)).astype(jnp.int32), axis=0
-            )
-            return (nxt, acc + npair)
-
-        return jax.lax.fori_loop(
-            jnp.int32(0), n, body, (s, jnp.uint32(0))
-        )[1]
+    index_timed = make_scalar_timed_chain(jax, jnp, index_step, 0)
 
     int(index_timed(seqs_d, lens_d, rids_d, jnp.int32(1)))  # warm
     best = time_best_of(

@@ -44,7 +44,9 @@ os.environ.setdefault(
 
 import numpy as np
 
-from scripts._tpu_common import init_device, time_best_of, watchdog
+from scripts._tpu_common import (
+    init_device, make_scalar_timed_chain, time_best_of, watchdog,
+)
 
 
 def build_corpus(n_devices: int = 1):
@@ -143,20 +145,7 @@ def main():
 
     # scalar-only timing chain (the plane-returning chain above copies
     # its carry every iteration — the round-5 timing-artifact lesson)
-    @jax.jit
-    def build_timed(s, ln, rd, n):
-        def body(_, carry):
-            ss, acc = carry
-            out = v2_step(ss, ln, rd)
-            npair = out["n_pairs"].astype(jnp.uint32)
-            nxt = jnp.roll(
-                ss, (npair & jnp.uint32(3)).astype(jnp.int32), axis=0
-            )
-            return (nxt, acc + npair)
-
-        return jax.lax.fori_loop(
-            jnp.int32(0), n, body, (s, jnp.uint32(0))
-        )[1]
+    build_timed = make_scalar_timed_chain(jax, jnp, v2_step, 0)
 
     int(build_timed(seqs_d, lens_d, rids_d, jnp.int32(1)))  # warm
     best = time_best_of(
@@ -228,18 +217,7 @@ def main():
     # (~160 MB copied per iteration), which inflated the round-5 first
     # measurement ~4x (55 vs 14 ms/step).  One extra ~60 s compile buys
     # the honest number.
-    @jax.jit
-    def e2e_timed(s, ln, rd, p0, p1, p2, p3, p4, p5, p6, n):
-        def body(_, carry):
-            ss, acc = carry
-            out = e2e_step(ss, ln, rd, p0, p1, p2, p3, p4, p5, p6)
-            nh = out["n_hits"].astype(jnp.uint32)
-            nxt = jnp.roll(ss, (nh & jnp.uint32(3)).astype(jnp.int32), axis=0)
-            return (nxt, acc + nh)
-
-        return jax.lax.fori_loop(
-            jnp.int32(0), n, body, (s, jnp.uint32(0))
-        )[1]
+    e2e_timed = make_scalar_timed_chain(jax, jnp, e2e_step, 7)
 
     int(e2e_timed(seqs_d, lens_d, rids_d, *planes_d, jnp.int32(1)))  # warm
     best = time_best_of(
