@@ -134,7 +134,15 @@ def main():
           f"({bytes_per_posting:.1f} B/posting capacity)")
     print(f"HPRC year-1 (~{HPRC_POSTINGS / 1e6:.0f}M signatures): "
           f"{postings_per_chip / 1e6:.0f}M postings/chip at 60% HBM "
-          f"-> {chips} v5e chips")
+          f"-> {chips} v5e chips (BUILD-time footprint: table + planes)")
+    # serving-only (probe+postings planes, shard table freed after the
+    # build) measured ON-CHIP at 67.1 B/posting — scripts/tpu_hbm_scale
+    serve_b = 67.1
+    serve_per_chip = V5E_HBM * 0.6 / serve_b
+    print(f"serving-only (67.1 B/posting measured on-chip, "
+          f"docs/TPU_HBM_SCALE.json): {serve_per_chip / 1e6:.0f}M "
+          f"postings/chip -> "
+          f"{int(np.ceil(HPRC_POSTINGS / serve_per_chip))} v5e chips")
 
 
 if __name__ == "__main__":
