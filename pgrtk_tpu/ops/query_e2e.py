@@ -139,7 +139,9 @@ def build_index(
             row = target_seqs[sid]
             if target_lens is not None:
                 row = row[: int(target_lens[sid])]  # ragged true length
-            seq = bytes(bytearray(BASES[b] for b in row))
+            # codes >= 4 are ambiguous (device encode_bases semantics):
+            # map to 'N' so the host sketch skips them identically
+            seq = bytes(bytearray(BASES[b] if b < 4 else 78 for b in row))
             mx, my = sketch_mod.sequence_to_shmmrs_arrays(
                 sid, seq, spec, False
             )
