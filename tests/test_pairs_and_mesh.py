@@ -864,3 +864,79 @@ def test_shard_probe_planes_flags_bucket_overflow():
     shard2 = {kk: v[:100] for kk, v in shard.items()}
     _planes, _row, ovf2 = pmesh._shard_probe_planes(shard2, bits=4)
     assert not bool(ovf2)
+
+
+def test_chunk_row_serving_shape_on_mesh():
+    """The PRODUCTION serving topology: 64 kb chunk-row queries sharded
+    over the mesh against the v2 hash-range index built from the FULL
+    target sequences — exact anchor parity per (chunk, target) group
+    (the on-chip runs exercise this shape at 1 device; this pins it
+    multi-device)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pgrtk_tpu.core import query as query_mod
+    from pgrtk_tpu.core.spec import ShmmrSpec
+    from pgrtk_tpu.ops import query_e2e
+    from pgrtk_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(3)
+    C, L = 8, 131072
+    base = rng.integers(0, 4, size=L, dtype=np.uint8)
+
+    def mutate():
+        s = base.copy()
+        n = rng.binomial(L, 3e-4)
+        pos = rng.choice(L, n, replace=False)
+        s[pos] = (s[pos] + rng.integers(1, 4, n)) % 4
+        return s
+
+    targets = np.stack([mutate() for _ in range(C)])
+    mesh = pmesh.make_mesh(8)
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis, None))
+    sh1 = NamedSharding(mesh, P(axis))
+    t_d = jax.device_put(jnp.asarray(targets), sh)
+    tl_d = jax.device_put(jnp.full((C,), L, jnp.int32), sh1)
+    tr_d = jax.device_put(jnp.arange(C, dtype=jnp.uint32), sh1)
+    v2 = pmesh.sharded_index_v2_step(mesh, 16384, chunk=512)(
+        t_d, tl_d, tr_d
+    )
+    for f in ("shard_overflow", "route_overflow", "probe_overflow",
+              "compact_overflow"):
+        assert not bool(v2[f]), f
+
+    QC = 2  # 64 kb chunk rows, two per target, sharded over devices
+    qch = targets.reshape(C * QC, L // QC)
+    BQ, LQ = qch.shape
+    q_d = jax.device_put(jnp.asarray(qch), sh)
+    ql_d = jax.device_put(jnp.full((BQ,), LQ, jnp.int32), sh1)
+    qr_d = jax.device_put(jnp.arange(BQ, dtype=jnp.uint32), sh1)
+    e2e = pmesh.sharded_query_v2_e2e_step(
+        mesh, 16384, n_targets=C, slots2=192, M=3, postings_cap=32,
+    )(q_d, ql_d, qr_d, *v2["probe"]["planes"])
+    for f in ("compact_overflow", "route_overflow", "postings_overflow"):
+        assert not bool(e2e[f]), f
+    anchors = np.asarray(e2e["anchors"])
+    gvalid = np.asarray(e2e["gvalid"])
+
+    idx = query_e2e.build_index(targets, n_decoys=0)
+    lookup = idx["lookup"]
+    spec = ShmmrSpec(80, 56, 4, 64, True)
+    BASES = b"ACGT"
+    n_anchors = 0
+    for b in range(BQ):
+        qb = bytes(bytearray(BASES[v] for v in qch[b]))
+        raw = query_mod.raw_query_fragment(
+            lambda s0, s1: lookup.get((s0, s1), []), qb, spec
+        )
+        th = query_mod.collect_target_hits(raw)
+        for c in range(C):
+            g = b * C + c
+            dev = [tuple(int(v) for v in row)
+                   for row in anchors[g][gvalid[g]]]
+            host = [(*lft, *t) for lft, t in th.get(c, [])]
+            assert dev == host, (b, c)
+            n_anchors += len(host)
+    assert n_anchors > 4 * BQ  # real chunk->target anchor mass
