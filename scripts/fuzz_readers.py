@@ -16,6 +16,8 @@ Formats / readers covered (reference formats per SURVEY §2 / C4-C7):
   pdb   pdb_io.read_pdb (golden.pdb as the seed corpus)
   agc   AgcFile open + list + sub-seq fetch (reference test.agc)
   pga   PgaFile open + fetch (fresh create_pga archive as the corpus)
+  fasta / fastagz  read_fastx_all (plain + gzip sniffing paths)
+  gff   GFFDB.from_file (gzip GFF3 parse + attribute indexing)
 
 Usage:  python scripts/fuzz_readers.py [n_trials_per_format]
         (CPU-only; run with PALLAS_AXON_POOL_IPS= to skip the TPU claim)
@@ -35,7 +37,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 REF_DATA = "/root/reference/pgr-db/test/test_data"
-FORMATS = ("mdb", "midx", "frg", "pdb", "agc", "pga")
+FORMATS = ("mdb", "midx", "frg", "pdb", "agc", "pga",
+           "fasta", "fastagz", "gff")
 TRIAL_ALARM_S = 15
 
 
@@ -180,6 +183,25 @@ def _run_trials(fmt: str, seed0: int, n: int) -> dict:
 
         def write(buf):
             p = os.path.join(tmp, "f.pga")
+            open(p, "wb").write(buf)
+            return p
+
+    elif fmt in ("fasta", "fastagz", "gff"):
+        from pgrtk_tpu.core.fasta import read_fastx_all
+        from pgrtk_tpu.core.gff_db import GFFDB
+
+        name = {"fasta": "test_seqs.fa", "fastagz": "test_seqs2.fa.gz",
+                "gff": "test.gff3.gz"}[fmt]
+        src = open(os.path.join(REF_DATA, name), "rb").read()
+
+        def attempt(path):
+            if fmt == "gff":
+                GFFDB.from_file(path)
+            else:
+                read_fastx_all(path)
+
+        def write(buf):
+            p = os.path.join(tmp, "f_" + name)
             open(p, "wb").write(buf)
             return p
 
