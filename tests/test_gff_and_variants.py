@@ -116,3 +116,20 @@ def test_cigar_segments_roundtrip():
     segs = sv.get_aln_segments(0, SEQ0, 1, SEQ1)
     assert sum(s.ref_loc.len for s in segs) == len(SEQ0)
     assert sum(s.tgt_loc.len for s in segs) == len(SEQ1)
+
+
+def test_gff_parent_cycle_ends_in_python_control():
+    """A crafted Parent cycle (A->B->A) must not hang get_all_offspring:
+    the recursive walk hits Python's recursion limit and raises
+    RecursionError (the reference's recursive walk, gff_db.rs:215-251,
+    would overflow the stack on the same input)."""
+    import pytest
+
+    from pgrtk_tpu.core.gff_db import GFFDB
+
+    db = GFFDB.from_list_of_fields([
+        ["c", "x", "gene", "1", "100", ".", "+", ".", "ID=A;Parent=B"],
+        ["c", "x", "gene", "1", "100", ".", "+", ".", "ID=B;Parent=A"],
+    ])
+    with pytest.raises(RecursionError):
+        db.get_all_offspring("A")
